@@ -1,0 +1,79 @@
+"""Host-side frame preprocessing for inference.
+
+Parity targets:
+  - detectron2 ``ResizeShortestEdge`` semantics used by the reference predictors
+    (``GoMBatchPredictor`` inherits DefaultPredictor's
+    ResizeShortestEdge(MIN_SIZE_TEST, MAX_SIZE_TEST); text_track_visualizer.py:295)
+  - ``EfficientDetResizeCropTransform`` test mode (scale=(1,1);
+    gomatching/data/transforms/custom_transform.py:29-84) for CUSTOM_AUG pipelines.
+
+Frames arrive BGR uint8 (cv2); INPUT.FORMAT=RGB flips channels. Normalization is
+(x - PIXEL_MEAN) / PIXEL_STD. Output is NHWC float32 plus the pre-pad (h, w).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def resize_shortest_edge(img: np.ndarray, short: int, max_size: int) -> np.ndarray:
+    """Scale so the shorter edge == short, capped so the longer edge <= max_size."""
+    h, w = img.shape[:2]
+    scale = short / min(h, w)
+    if h < w:
+        newh, neww = short, scale * w
+    else:
+        newh, neww = scale * h, short
+    if max(newh, neww) > max_size:
+        s = max_size / max(newh, neww)
+        newh, neww = newh * s, neww * s
+    newh = int(newh + 0.5)
+    neww = int(neww + 0.5)
+    if (newh, neww) == (h, w):
+        return img
+    return np.asarray(Image.fromarray(img).resize((neww, newh), Image.BILINEAR))
+
+
+def efficientdet_resize_crop_test(img: np.ndarray, size: int, h: int = -1, w: int = -1):
+    """Test-mode EfficientDetResizeCrop (scale factor 1, no random offset)."""
+    target = (size, size) if (h < 0 and w < 0) else (h, w)
+    ih, iw = img.shape[:2]
+    img_scale = min(target[0] / ih, target[1] / iw)
+    scaled_h, scaled_w = int(ih * img_scale), int(iw * img_scale)
+    out = np.asarray(Image.fromarray(img).resize((scaled_w, scaled_h), Image.BILINEAR))
+    return out, img_scale
+
+
+def preprocess_frames(
+    frames,
+    pixel_mean,
+    pixel_std,
+    input_format: str = "RGB",
+    min_size_test: int = 1000,
+    max_size_test: int = 3000,
+    pad_multiple: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
+    """BGR uint8 frames (same resolution) -> normalized padded batch.
+
+    Returns (batch (B, Hp, Wp, 3) float32, image_hw (B, 2) true sizes, orig_hw).
+    """
+    orig_h, orig_w = frames[0].shape[:2]
+    out = []
+    for f in frames:
+        if input_format == "RGB":
+            f = f[:, :, ::-1]
+        f = resize_shortest_edge(np.ascontiguousarray(f), min_size_test, max_size_test)
+        out.append(f.astype(np.float32))
+    h, w = out[0].shape[:2]
+    hp = -(-h // pad_multiple) * pad_multiple
+    wp = -(-w // pad_multiple) * pad_multiple
+    mean = np.asarray(pixel_mean, np.float32)
+    std = np.asarray(pixel_std, np.float32)
+    batch = np.zeros((len(out), hp, wp, 3), np.float32)
+    for i, f in enumerate(out):
+        batch[i, :h, :w] = (f - mean) / std
+    image_hw = np.tile(np.asarray([[h, w]], np.int32), (len(out), 1))
+    return batch, image_hw, (orig_h, orig_w)

@@ -1,0 +1,169 @@
+"""Video inference engine.
+
+Replaces ``GoMBatchPredictor`` (gomatching/text_track_visualizer.py:295-335) and the
+driver loop of the reference ``eval.py``. TPU-first structure:
+
+  - the spotter runs BATCHED over SPOT_BATCH frames per device step (the reference
+    pushes batch-size-1 through the network per frame, gom_lstmatcher.py:370 — frame
+    batching is the single biggest TPU throughput win, SURVEY.md §7.8);
+  - detections come back as fixed (B, nq, ...) slot arrays + validity mask; the
+    host extracts dense per-frame instances;
+  - the sequential tracker calls the jitted association transformer with
+    bucket-padded token counts (compilation reuse across frames).
+
+Stage wall-clock is tracked in the same ``time_cost`` buckets the reference prints
+(eval.py:303-304) for parity reporting.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.preprocess import preprocess_frames
+from ..models.gomatching import GoMatchingModel, build_model
+from ..tracking.tracker import FrameDetections, Tracker
+from ..utils.ctc import ctc_decode, load_char_table
+
+
+def init_params(model: GoMatchingModel, seed: int = 0, image_size=(64, 64)):
+    imgs = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(seed), imgs)
+
+
+class VideoPredictor:
+    """End-to-end per-video spotting + tracking."""
+
+    def __init__(self, cfg, params=None):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        if params is None:
+            params = self._load_or_init(cfg)
+        self.params = params
+        self.spot_batch = cfg.TPU.SPOT_BATCH
+        self.char_table = load_char_table(
+            cfg.MODEL.TRANSFORMER.VOC_SIZE, cfg.MODEL.TRANSFORMER.CUSTOM_DICT
+        )
+        self.voc_size = cfg.MODEL.TRANSFORMER.VOC_SIZE
+
+        self._spot_fn = jax.jit(
+            lambda p, imgs, hw: self.model.apply(p, imgs, hw, method=GoMatchingModel.spot_and_detect)
+        )
+        self._assoc_short = jax.jit(
+            lambda p, toks, valid: self.model.apply(
+                p, toks, valid, True, method=GoMatchingModel.associate
+            )
+        )
+        self._assoc_long = jax.jit(
+            lambda p, toks, valid: self.model.apply(
+                p, toks, valid, False, method=GoMatchingModel.associate
+            )
+        )
+
+        def associate_fn(tokens, valid, short_term):
+            fn = self._assoc_short if short_term else self._assoc_long
+            return fn(self.params, tokens, valid)
+
+        v = cfg.VIDEO_TEST
+        self.tracker = Tracker(
+            associate_fn,
+            test_len=cfg.INPUT.VIDEO.TEST_LEN,
+            overlap_thresh=v.OVERLAP_THRESH,
+            min_track_len=v.MIN_TRACK_LEN,
+            max_center_dist=v.MAX_CENTER_DIST,
+            decay_time=v.DECAY_TIME,
+            with_iou=v.WITH_IOU,
+            not_mult_thresh=v.NOT_MULT_THRESH,
+        )
+
+    def _load_or_init(self, cfg):
+        path = cfg.MODEL.WEIGHTS
+        if path:
+            import os
+
+            if os.path.exists(path):
+                from .checkpoint import load_params
+
+                return load_params(path)
+        return init_params(self.model)
+
+    # ------------------------------------------------------------------
+    def spot_frames(self, frames: List[np.ndarray], time_cost: Optional[Dict] = None):
+        """BGR frames (one resolution) -> list of FrameDetections (untracked)."""
+        tc = time_cost if time_cost is not None else {}
+        t0 = time.time()
+        batch, image_hw, orig_hw = preprocess_frames(
+            frames,
+            self.cfg.MODEL.PIXEL_MEAN,
+            self.cfg.MODEL.PIXEL_STD,
+            self.cfg.INPUT.FORMAT,
+            self.cfg.INPUT.MIN_SIZE_TEST,
+            self.cfg.INPUT.MAX_SIZE_TEST,
+        )
+        tc["pre_process"] = tc.get("pre_process", 0) + time.time() - t0
+
+        dets: List[FrameDetections] = []
+        t0 = time.time()
+        n = len(batch)
+        bs = self.spot_batch
+        outs = []
+        for s in range(0, n, bs):
+            chunk = batch[s : s + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+            out = self._spot_fn(self.params, jnp.asarray(chunk), None)
+            outs.append({k: np.asarray(v)[: len(chunk) - pad if pad else bs] for k, v in out.items()})
+        tc["detector"] = tc.get("detector", 0) + time.time() - t0
+
+        in_h, in_w = int(image_hw[0, 0]), int(image_hw[0, 1])
+        for ci, out in enumerate(outs):
+            for i in range(len(out["scores"])):
+                valid = out["valid"][i]
+                dets.append(
+                    FrameDetections(
+                        boxes=out["boxes"][i][valid],
+                        scores=out["scores"][i][valid],
+                        ctrl_points=out["ctrl_points"][i][valid],
+                        recs=out["recs"][i][valid],
+                        bd=out["bd"][i][valid],
+                        reid=out["reid"][i][valid],
+                        image_hw=(in_h, in_w),
+                    )
+                )
+        self._orig_hw = orig_hw
+        return dets
+
+    def process_video(self, frames: List[np.ndarray], time_cost: Optional[Dict] = None):
+        """Full pipeline for one video -> list of tracked FrameDetections scaled to
+        the original resolution."""
+        tc = time_cost if time_cost is not None else {}
+        self.tracker.reset()
+        dets = self.spot_frames(frames, tc)
+        t0 = time.time()
+        for det in dets:
+            self.tracker.step(det)
+        tc["tracker"] = tc.get("tracker", 0) + time.time() - t0
+
+        t0 = time.time()
+        tracked = self.tracker.remove_short_tracks()
+        orig_h, orig_w = self._orig_hw
+        for f in tracked:
+            sy = orig_h / f.image_hw[0]
+            sx = orig_w / f.image_hw[1]
+            f.ctrl_points = f.ctrl_points.copy()
+            f.ctrl_points[:, 0::2] *= sx
+            f.ctrl_points[:, 1::2] *= sy
+            f.bd = f.bd.copy()
+            f.bd[..., 0::2] *= sx
+            f.bd[..., 1::2] *= sy
+        tc["post_process"] = tc.get("post_process", 0) + time.time() - t0
+        return tracked
+
+    def decode_text(self, rec) -> str:
+        return ctc_decode(rec, self.voc_size, self.char_table)

@@ -1,0 +1,287 @@
+"""Sequential long/short-term track association (host driver).
+
+Re-design of the tracking driver in ``GoMatching.batch_inference`` /
+``run_short_term_match`` / ``run_long_term_match``
+(gomatching/modeling/meta_arch/gom_lstmatcher.py:366-564).
+
+Split of responsibilities on TPU:
+  - the *spotter* runs batched over many frames in one device step (frame axis =
+    batch axis), producing fixed-slot detections + reid embeddings;
+  - this module consumes those per-frame detections sequentially (tracking is an
+    inherently sequential recurrence over tiny tensors) and calls back into the
+    jitted association transformer with bucket-padded token counts, so device
+    compilation is reused across frames;
+  - Hungarian assignment and the softmax-with-background activation run on host
+    numpy — matrices are at most (dets x window_dets), i.e. hundreds.
+
+Track-id bookkeeping quirks of the reference are reproduced exactly (e.g. frame 0
+sets id_count = n0 + 1 and the next new track gets id n0 + 2; unmatched marker -1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..ops.hungarian import solve
+from ..utils.boxes import pairwise_iou_np
+
+BUCKETS = (32, 64, 128, 256, 512, 1024)
+
+
+def _bucket(n: int) -> int:
+    for b in BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // BUCKETS[-1]) * BUCKETS[-1]
+
+
+@dataclass
+class FrameDetections:
+    """Dense (unpadded) detections of one frame, host numpy."""
+
+    boxes: np.ndarray  # (n, 4) xyxy in model-input pixels
+    scores: np.ndarray  # (n,)
+    ctrl_points: np.ndarray  # (n, npts*2)
+    recs: np.ndarray  # (n, npts) int
+    bd: np.ndarray  # (n, npts, 4)
+    reid: Optional[np.ndarray]  # (n, F); dropped once the frame leaves the window
+    track_ids: np.ndarray = field(default=None)  # (n,)
+    image_hw: tuple = (0, 0)
+
+    def __len__(self):
+        return len(self.scores)
+
+
+def activate_asso(asso: np.ndarray, n_t: List[int]) -> np.ndarray:
+    """Softmax with an appended zero background column per frame block, background
+    dropped (lstmatcher.py:373-381). asso: (M, N) with N = sum(n_t)."""
+    out = []
+    start = 0
+    for n in n_t:
+        block = asso[:, start : start + n]
+        with_bg = np.concatenate([block, np.zeros((block.shape[0], 1), block.dtype)], axis=1)
+        with_bg = with_bg - with_bg.max(axis=1, keepdims=True)
+        e = np.exp(with_bg)
+        sm = e / e.sum(axis=1, keepdims=True)
+        out.append(sm[:, :-1])
+        start += n
+    return np.concatenate(out, axis=1) if out else asso
+
+
+class Tracker:
+    """Stateful per-video tracker.
+
+    ``associate_fn(reid_padded (1, Npad, F), valid (1, Npad), short_term)`` must
+    return (1, Npad, Npad) affinity logits (the jitted LSTMatcherHead.associate).
+    """
+
+    def __init__(
+        self,
+        associate_fn: Callable,
+        test_len: int = 6,
+        overlap_thresh: float = 0.2,
+        min_track_len: int = 5,
+        max_center_dist: float = -1.0,
+        decay_time: float = -1.0,
+        with_iou: bool = True,
+        not_mult_thresh: bool = True,
+    ):
+        self.associate_fn = associate_fn
+        self.test_len = test_len
+        self.overlap_thresh = overlap_thresh
+        self.min_track_len = min_track_len
+        self.max_center_dist = max_center_dist
+        self.decay_time = decay_time
+        self.with_iou = with_iou
+        self.not_mult_thresh = not_mult_thresh
+        self.reset()
+
+    def reset(self):
+        self.frames: List[FrameDetections] = []
+        self.id_count = 0
+
+    # ------------------------------------------------------------------
+    def _run_matcher(self, frames: List[FrameDetections], short_term: bool) -> np.ndarray:
+        """Stack reid features of the given frames, run the association transformer,
+        return activated (n_query_frame, N) scores for the *last* frame's rows."""
+        n_t = [len(f) for f in frames]
+        N = sum(n_t)
+        feats = np.concatenate([f.reid for f in frames], axis=0).astype(np.float32)
+        npad = _bucket(max(N, 1))
+        padded = np.zeros((1, npad, feats.shape[1]), np.float32)
+        padded[0, :N] = feats
+        valid = np.zeros((1, npad), bool)
+        valid[0, :N] = True
+        logits = np.asarray(self.associate_fn(padded, valid, short_term))[0, :N, :N]
+        k_start = N - n_t[-1]
+        rows = logits[k_start:N]
+        return activate_asso(rows, n_t)
+
+    def _assign(
+        self,
+        asso_nonk: np.ndarray,  # (n_k, Np) activated scores vs window instances
+        ids: np.ndarray,  # (Np,) their track ids
+        k_boxes: np.ndarray,
+        nonk_boxes: np.ndarray,
+        norm_hw: tuple,
+        decay: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Trajectory scoring + Hungarian + threshold -> per-detection track id or -1
+        (gom_lstmatcher.py:429-463, :510-555)."""
+        n_k = asso_nonk.shape[0]
+        track_ids = np.full((n_k,), -1, np.int64)
+        if n_k == 0:
+            return track_ids
+        unique_ids = np.unique(ids)
+        M = len(unique_ids)
+        if M == 0:
+            return track_ids
+        id_inds = (unique_ids[None, :] == ids[:, None]).astype(np.float32)  # Np x M
+
+        if decay is not None:
+            asso_nonk = asso_nonk * decay[None, :]
+        traj_score = asso_nonk @ id_inds  # n_k x M
+
+        if id_inds.size > 0:
+            last_inds = (id_inds * np.arange(len(ids))[:, None]).argmax(axis=0)
+            last_boxes = nonk_boxes[last_inds]
+            last_ious = pairwise_iou_np(k_boxes, last_boxes)
+        else:
+            last_ious = np.zeros_like(traj_score)
+        if self.with_iou:
+            traj_score = np.maximum(traj_score, last_ious)
+
+        if self.max_center_dist > 0:
+            k_ct = (k_boxes[:, :2] + k_boxes[:, 2:]) / 2
+            k_s = ((k_boxes[:, 2:] - k_boxes[:, :2]) ** 2).sum(axis=1)
+            nonk_ct = (nonk_boxes[:, :2] + nonk_boxes[:, 2:]) / 2
+            dist = ((k_ct[:, None] - nonk_ct[None, :]) ** 2).sum(axis=2)
+            norm_dist = dist / (k_s[:, None] + 1e-8)
+            valid = norm_dist < self.max_center_dist
+            valid_assn = np.minimum(valid.astype(np.float32) @ id_inds, 1.0).astype(bool)
+            traj_score = np.where(valid_assn, traj_score, 0.0)
+
+        mi, mj = solve(-traj_score)
+        for i, j in zip(mi, mj):
+            thresh = (
+                self.overlap_thresh
+                if self.not_mult_thresh
+                else self.overlap_thresh * id_inds[:, j].sum()
+            )
+            if traj_score[i, j] > thresh:
+                track_ids[i] = unique_ids[j]
+        return track_ids
+
+    # ------------------------------------------------------------------
+    def _short_term(self, prev: FrameDetections, cur: FrameDetections):
+        frames = [prev, cur]
+        n_t = [len(prev), len(cur)]
+        if len(cur) == 0:
+            cur.track_ids = np.zeros((0,), np.int64)
+            return np.zeros((0,), np.int64)
+        asso = self._run_matcher(frames, short_term=True)  # (n_cur, N)
+        asso_nonk = asso[:, : n_t[0]]
+        track_ids = self._assign(
+            asso_nonk, prev.track_ids, cur.boxes, prev.boxes, cur.image_hw
+        )
+        cur.track_ids = track_ids
+        return track_ids
+
+    def _long_term(self, window: List[FrameDetections]):
+        """Re-match the last frame's unmatched (-1) detections against window tracks
+        not already claimed by the short-term pass."""
+        cur = window[-1]
+        cur_claimed = set(np.unique(cur.track_ids).tolist())
+        keeps = []
+        for idx, f in enumerate(window):
+            if idx != len(window) - 1:
+                keeps.append(np.array([tid not in cur_claimed for tid in f.track_ids], bool))
+            else:
+                keeps.append(f.track_ids == -1)
+        reid_idx = keeps[-1]
+        if not reid_idx.any():
+            return
+        sub = []
+        for f, kp in zip(window, keeps):
+            sub.append(
+                FrameDetections(
+                    boxes=f.boxes[kp],
+                    scores=f.scores[kp],
+                    ctrl_points=f.ctrl_points[kp],
+                    recs=f.recs[kp],
+                    bd=f.bd[kp],
+                    reid=f.reid[kp],
+                    track_ids=f.track_ids[kp],
+                    image_hw=f.image_hw,
+                )
+            )
+        n_t = [len(f) for f in sub]
+        T = len(sub)
+        asso = self._run_matcher(sub, short_term=False)  # (n_k, N)
+        k_start = sum(n_t[:-1])
+        asso_nonk = asso[:, :k_start]
+        ids = np.concatenate([f.track_ids for f in sub[:-1]]) if T > 1 else np.zeros(0, np.int64)
+        nonk_boxes = (
+            np.concatenate([f.boxes for f in sub[:-1]]) if T > 1 else np.zeros((0, 4), np.float32)
+        )
+        decay = None
+        if self.decay_time > 0 and k_start > 0:
+            dts = np.concatenate(
+                [np.full((len(f),), T - t - 2, np.float32) for t, f in enumerate(sub[:-1])]
+            )
+            decay = self.decay_time**dts
+        new_ids = self._assign(
+            asso_nonk, ids, sub[-1].boxes, nonk_boxes, cur.image_hw, decay=decay
+        )
+        for i in range(len(new_ids)):
+            if new_ids[i] < 0:
+                self.id_count += 1
+                new_ids[i] = self.id_count
+        cur.track_ids[reid_idx] = new_ids
+
+    # ------------------------------------------------------------------
+    def step(self, det: FrameDetections) -> FrameDetections:
+        """Consume one frame's detections; assigns det.track_ids in place."""
+        frame_id = len(self.frames)
+        self.frames.append(det)
+        if frame_id == 0:
+            det.track_ids = np.arange(1, len(det) + 1, dtype=np.int64)
+            self.id_count = len(det) + 1
+        elif frame_id == 1:
+            self._short_term(self.frames[0], det)
+            for i in range(len(det)):
+                if det.track_ids[i] < 0:
+                    self.id_count += 1
+                    det.track_ids[i] = self.id_count
+        else:
+            self._short_term(self.frames[frame_id - 1], det)
+            if (det.track_ids == -1).any():
+                win_st = max(0, frame_id + 1 - self.test_len)
+                self._long_term(self.frames[win_st : frame_id + 1])
+        assert len(np.unique(det.track_ids)) == len(det.track_ids)
+        # free reid memory outside the sliding window (gom_lstmatcher.py:401-402)
+        if frame_id - self.test_len >= 0:
+            self.frames[frame_id - self.test_len].reid = None
+        return det
+
+    def remove_short_tracks(self) -> List[FrameDetections]:
+        """Drop tracks shorter than min_track_len (gom_lstmatcher.py:566-577)."""
+        if self.min_track_len <= 0 or not self.frames:
+            return self.frames
+        all_ids = np.concatenate([f.track_ids for f in self.frames])
+        uniq, counts = np.unique(all_ids, return_counts=True)
+        bad = set(uniq[counts < self.min_track_len].tolist())
+        for f in self.frames:
+            kp = np.array([tid not in bad for tid in f.track_ids], bool)
+            f.boxes = f.boxes[kp]
+            f.scores = f.scores[kp]
+            f.ctrl_points = f.ctrl_points[kp]
+            f.recs = f.recs[kp]
+            f.bd = f.bd[kp]
+            f.track_ids = f.track_ids[kp]
+            if f.reid is not None:
+                f.reid = f.reid[kp]
+        return self.frames

@@ -1,0 +1,93 @@
+"""End-to-end inference: synthetic frames -> predictor -> tracker -> XML/JSON.
+
+Mirrors the reference's validation-by-pipeline strategy (SURVEY.md §4): a tiny
+random-weight model must drive the full spot->track->serialize path and emit
+schema-valid ICDAR XML/JSON.
+"""
+
+import os
+import xml.etree.cElementTree as ET
+
+import numpy as np
+import pytest
+
+TINY_OPTS = [
+    "MODEL.TRANSFORMER.ENC_LAYERS", "1",
+    "MODEL.TRANSFORMER.DEC_LAYERS", "1",
+    "MODEL.TRANSFORMER.NUM_QUERIES", "8",
+    "MODEL.TRANSFORMER.NUM_POINTS", "5",
+    "MODEL.TRANSFORMER.HIDDEN_DIM", "64",
+    "MODEL.TRANSFORMER.NHEADS", "4",
+    "MODEL.TRANSFORMER.DIM_FEEDFORWARD", "64",
+    "MODEL.TRANSFORMER.INFERENCE_TH_TEST", "0.0001",
+    "MODEL.ASSO_HEAD.FC_DIM", "64",
+    "INPUT.MIN_SIZE_TEST", "64",
+    "INPUT.MAX_SIZE_TEST", "128",
+    "MODEL.WEIGHTS", "''",
+    "TPU.SPOT_BATCH", "2",
+]
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    from gomatching_tpu.config import setup_eval_cfg
+    from gomatching_tpu.engine.predictor import VideoPredictor
+
+    cfg = setup_eval_cfg("configs/GoMatching_ICDAR15.yaml", list(TINY_OPTS))
+    return VideoPredictor(cfg)
+
+
+def test_process_video_and_write(tmp_path, predictor):
+    from gomatching_tpu.evaluation.writer import (
+        boundary_to_polygon,
+        frame_lines,
+        write_track_transcriptions,
+        write_video_results,
+    )
+
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (96, 128, 3), dtype=np.uint8) for _ in range(5)]
+    tc = {}
+    tracked = predictor.process_video(frames, tc)
+    assert len(tracked) == 5
+    for det in tracked:
+        assert len(np.unique(det.track_ids)) == len(det.track_ids)
+        assert det.ctrl_points.shape[1] == 5 * 2
+        assert det.bd.shape[1:] == (5, 4)
+
+    annotation = {}
+    for i, det in enumerate(tracked):
+        polys = [boundary_to_polygon(bd) for bd in det.bd]
+        texts = [predictor.decode_text(r) for r in det.recs]
+        annotation[str(i + 1)] = frame_lines(polys, det.track_ids, texts)
+
+    xml_path = str(tmp_path / "res_video_1.xml")
+    json_path = str(tmp_path / "video_1.json")
+    write_video_results(annotation, json_path, xml_path)
+    # XML must parse with the protocol-expected structure
+    root = ET.parse(xml_path).getroot()
+    assert root.tag == "Frames"
+    for fr in root:
+        assert fr.tag == "frame" and "ID" in fr.attrib
+        for obj in fr:
+            assert "ID" in obj.attrib and "Transcription" in obj.attrib
+            assert len(list(obj)) == 4  # 4 corner Points
+    write_track_transcriptions(str(tmp_path))
+    assert os.path.exists(str(tmp_path / "res_video_1.txt"))
+
+    assert "detector" in tc and "tracker" in tc
+
+
+def test_empty_detections(predictor):
+    """Frames with zero surviving detections -> empty tracks, no crashes."""
+    rng = np.random.RandomState(1)
+    frames = [rng.randint(0, 255, (96, 128, 3), dtype=np.uint8) for _ in range(3)]
+    dets = predictor.spot_frames(frames)
+    for d in dets:  # emulate nothing passing the threshold
+        for f in ("boxes", "scores", "ctrl_points", "recs", "bd", "reid"):
+            setattr(d, f, getattr(d, f)[:0])
+    predictor.tracker.reset()
+    for d in dets:
+        predictor.tracker.step(d)
+    for d in predictor.tracker.remove_short_tracks():
+        assert len(d) == 0
