@@ -31,7 +31,27 @@ from ..tracking.tracker import FrameDetections, Tracker
 from ..utils.ctc import ctc_decode, load_char_table
 
 
-def init_params(model: GoMatchingModel, seed: int = 0, image_size=(64, 64)):
+def init_params(model: GoMatchingModel, seed: int = 0, image_size=None):
+    """Random-init the full parameter tree.
+
+    Always traces on the host CPU backend — initializing via a TPU compile of the
+    whole model wastes minutes of compile time for throwaway math; the params are
+    transferred to the accelerator lazily at the first jitted call.
+    """
+    if image_size is None:
+        # the two-stage top-k needs at least num_queries encoder tokens
+        side = 64
+        while sum((-(-side // s)) ** 2 for s in (8, 16, 32, 64)) < model.num_queries:
+            side *= 2
+        image_size = (side, side)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            imgs = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
+            return model.init(jax.random.PRNGKey(seed), imgs)
     imgs = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
     return model.init(jax.random.PRNGKey(seed), imgs)
 

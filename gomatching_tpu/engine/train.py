@@ -1,0 +1,274 @@
+"""Training engine: freeze partition, optimizer, LR schedule, train step.
+
+Parity targets:
+  - ``build_custom_optimizer`` (gomatching/costom_solver.py:20-77): AdamW, base LR
+    5e-5, per-group backbone multiplier, full-model grad-norm clip 0.1;
+  - WarmupCosineLR (detectron2 semantics: linear warmup 1000 iters factor 1e-3,
+    cosine decay to 0 over MAX_ITER);
+  - ``check_if_freeze_model`` FREEZE_TYPE=ExceptROIheads
+    (gomatching/modeling/freeze_layers.py:139,20) — realized the JAX way: frozen
+    params simply are not in the optimized pytree (SURVEY.md §5);
+  - the training forward of ``GoMatching.forward`` (gom_lstmatcher.py:213-266):
+    spotter (no grad) -> rescore + loss_res -> thresholded proposals -> long/short
+    association losses.
+
+The step is SPMD-ready: under a Mesh it takes pmean of grads/num_inst over the
+'data' axis (replacing DDP + the manual all_reduce at losses.py:260-262).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.gomatching import GoMatchingModel
+from .losses import asso_ce_loss, rescore_loss
+
+
+class TrainState(NamedTuple):
+    trainable: Any  # roi_heads param subtree
+    frozen: Any  # everything else
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def split_params(params, freeze_type: str = "ExceptROIheads"):
+    """Partition the param tree into (trainable, frozen) per the freeze policy."""
+    p = params["params"]
+    if freeze_type in ("ExceptROIheads", ""):
+        trainable = {"roi_heads": p["roi_heads"]}
+        frozen = {k: v for k, v in p.items() if k != "roi_heads"}
+    else:
+        raise NotImplementedError(freeze_type)
+    return trainable, frozen
+
+
+def merge_params(trainable, frozen):
+    return {"params": {**frozen, **trainable}}
+
+
+def warmup_cosine_schedule(base_lr: float, max_iter: int, warmup_iters: int = 1000,
+                           warmup_factor: float = 1e-3):
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_factor + (1 - warmup_factor) * jnp.minimum(step, warmup_iters) / warmup_iters
+        cos = 0.5 * (1 + jnp.cos(jnp.pi * jnp.clip(step / max_iter, 0, 1)))
+        return base_lr * jnp.where(step < warmup_iters, warm, cos)
+
+    return schedule
+
+
+def build_optimizer(cfg):
+    s = cfg.SOLVER
+    sched = (
+        warmup_cosine_schedule(s.BASE_LR, s.MAX_ITER, s.WARMUP_ITERS, s.WARMUP_FACTOR)
+        if s.LR_SCHEDULER_NAME == "WarmupCosineLR"
+        else optax.piecewise_constant_schedule(
+            s.BASE_LR, {int(st): s.GAMMA for st in s.STEPS}
+        )
+    )
+    chain = []
+    if s.CLIP_GRADIENTS.ENABLED and s.CLIP_GRADIENTS.CLIP_TYPE == "full_model":
+        chain.append(optax.clip_by_global_norm(s.CLIP_GRADIENTS.CLIP_VALUE))
+    if s.OPTIMIZER.upper() == "ADAMW":
+        chain.append(optax.adamw(sched, weight_decay=s.WEIGHT_DECAY))
+    else:
+        chain.append(optax.sgd(sched, momentum=s.MOMENTUM))
+    return optax.chain(*chain), sched
+
+
+class Trainer:
+    """Orchestrates the 3-phase step:
+    1. jit spotter forward (frozen) -> detections/query features
+    2. host: Hungarian rescore match + association GT (no-grad numpy)
+    3. jit loss+grad on the trainable subtree + optax update
+    """
+
+    def __init__(self, cfg, model: GoMatchingModel, params, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = mesh
+        trainable, frozen = split_params(params, cfg.MODEL.FREEZE_TYPE)
+        self.tx, self.schedule = build_optimizer(cfg)
+        self.state = TrainState(
+            trainable=trainable,
+            frozen=frozen,
+            opt_state=self.tx.init(trainable),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.asso_thresh = cfg.MODEL.ASSO_HEAD.ASSO_THRESH
+        self.train_thresh = cfg.MODEL.TRANSFORMER.INFERENCE_TH_TRAIN
+        self.asso_weight = cfg.MODEL.ASSO_HEAD.ASSO_WEIGHT
+        self.asso_weight_local = cfg.MODEL.ASSO_HEAD.ASSO_WEIGHT_LOCAL
+        self.neg_unmatched = cfg.MODEL.ASSO_HEAD.NEG_UNMATCHED
+        self.focal_alpha = cfg.MODEL.TRANSFORMER.LOSS.FOCAL_ALPHA
+        self.focal_gamma = cfg.MODEL.TRANSFORMER.LOSS.FOCAL_GAMMA
+        self.with_rescore = cfg.MODEL.ROI_HEADS.WITH_RESR
+
+        self._spot = jax.jit(self._spot_fn)
+        self._update = jax.jit(self._update_fn)
+
+    # ------------------------------------------------------------------
+    def _spot_fn(self, frozen, trainable, images, image_hw):
+        params = merge_params(trainable, frozen)
+        out = self.model.apply(
+            params, images, image_hw, method=GoMatchingModel.spot
+        )
+        return {
+            "query_features": jax.lax.stop_gradient(out["query_features"]),
+            "pred_logits": jax.lax.stop_gradient(out["pred_logits"]),
+            "pred_ctrl_points": jax.lax.stop_gradient(out["pred_ctrl_points"]),
+            "pred_bd_points": jax.lax.stop_gradient(out["pred_bd_points"]),
+            "re_pred_logits": out["re_pred_logits"],
+        }
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, trainable, frozen, batch):
+        """batch: dict of fixed-shape arrays prepared on host."""
+        model = self.model
+
+        def apply(method, *args):
+            return model.apply(merge_params(trainable, frozen), *args, method=method)
+
+        qf = batch["query_features"]  # (T, nq, npts, C)
+        T, nq = qf.shape[:2]
+        losses = {}
+        if self.with_rescore:
+            re_logits = apply(GoMatchingModel.rescore_features, qf)
+            losses["loss_res"] = rescore_loss(
+                re_logits,
+                batch["res_match_mask"],
+                batch["num_inst"],
+                self.focal_alpha,
+                self.focal_gamma,
+            )
+
+        # reid over all slots, padded association
+        reid = apply(GoMatchingModel.reid_features, qf)  # (T, nq, F)
+        tokens = reid.reshape(1, T * nq, -1)
+        valid = batch["prop_valid"].reshape(1, T * nq)
+
+        long_logits = apply(GoMatchingModel.associate_tokens, tokens, valid, False)
+        long_logits = long_logits.reshape(T * nq, T, nq)
+        loss_long = asso_ce_loss(
+            long_logits,
+            batch["prop_valid"].reshape(-1),
+            batch["prop_valid"],
+            batch["asso_gt"],
+            batch["match_cues"].reshape(-1),
+            batch["track_valid"],
+            self.neg_unmatched,
+        )
+        losses["loss_long_asso"] = self.asso_weight * loss_long
+
+        # short-term: adjacent pairs
+        loss_short = 0.0
+        for t in range(T - 1):
+            pair_tokens = reid[t : t + 2].reshape(1, 2 * nq, -1)
+            pair_valid = batch["prop_valid"][t : t + 2].reshape(1, 2 * nq)
+            lg = apply(GoMatchingModel.associate_tokens, pair_tokens, pair_valid, True)
+            lg = lg.reshape(2 * nq, 2, nq)
+            loss_short = loss_short + asso_ce_loss(
+                lg,
+                batch["prop_valid"][t : t + 2].reshape(-1),
+                batch["prop_valid"][t : t + 2],
+                batch["asso_gt_pairs"][t],
+                batch["match_cues"][t : t + 2].reshape(-1),
+                batch["track_valid_pairs"][t],
+                self.neg_unmatched,
+            )
+        losses["loss_short_asso"] = self.asso_weight_local * loss_short / max(T - 1, 1)
+
+        total = sum(losses.values())
+        return total, losses
+
+    def _update_fn(self, state: TrainState, batch):
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        (total, losses), grads = grad_fn(state.trainable, state.frozen, batch)
+        if self.mesh is not None and "data" in getattr(self.mesh, "axis_names", ()):
+            grads = jax.lax.pmean(grads, "data")
+            losses = jax.lax.pmean(losses, "data")
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = TrainState(trainable, state.frozen, opt_state, state.step + 1)
+        return new_state, {**losses, "total_loss": total}
+
+    # ------------------------------------------------------------------
+    def prepare_batch(self, spot_out: Dict[str, np.ndarray], targets: Dict) -> Dict:
+        """Host phase: score fusion, proposal threshold, Hungarian + asso GT."""
+        from .losses import build_asso_targets, match_rescore
+
+        logits = np.asarray(spot_out["pred_logits"], np.float32)  # (T, nq, npts, 1)
+        T, nq = logits.shape[:2]
+        scores = 1 / (1 + np.exp(-logits.mean(2)[..., 0]))
+        if self.with_rescore and spot_out["re_pred_logits"] is not None:
+            re = np.asarray(spot_out["re_pred_logits"], np.float32)
+            re_s = 1 / (1 + np.exp(-re.mean(2)[..., 0]))
+            fused = np.maximum(scores, re_s)
+        else:
+            re = None
+            fused = scores
+        # proposal selection: detection threshold then asso threshold (same value
+        # chain as gom_lstmatcher.py:608 + lstmatcher.py:276-278)
+        prop_valid = (fused > self.train_thresh) & (fused > self.asso_thresh)
+
+        # boxes from boundary extremes, normalized
+        bd = np.asarray(spot_out["pred_bd_points"], np.float32)  # (T, nq, npts, 4) in [0,1]
+        pts = bd.reshape(T, nq, -1, 2)
+        boxes = np.stack(
+            [pts[..., 0].min(-1), pts[..., 1].min(-1), pts[..., 0].max(-1), pts[..., 1].max(-1)],
+            axis=-1,
+        )
+
+        num_inst = max(sum(len(g) for g in targets["gt_ctrl"]), 1)
+
+        res_match_mask = np.zeros((T, nq), np.float32)
+        if self.with_rescore and re is not None:
+            matches = match_rescore(re, np.asarray(spot_out["pred_ctrl_points"]), targets["gt_ctrl"])
+            for t, (qi, _) in enumerate(matches):
+                res_match_mask[t, qi] = 1.0
+
+        max_tracks = nq
+        asso_gt, match_cues, track_valid = build_asso_targets(
+            boxes, prop_valid, targets["gt_boxes"], targets["gt_ids"], max_tracks
+        )
+        # per adjacent pair GT
+        asso_gt_pairs = np.zeros((max(T - 1, 1), max_tracks, 2), np.int64)
+        track_valid_pairs = np.zeros((max(T - 1, 1), max_tracks), bool)
+        for t in range(T - 1):
+            gp, _, tv = build_asso_targets(
+                boxes[t : t + 2],
+                prop_valid[t : t + 2],
+                targets["gt_boxes"][t : t + 2],
+                targets["gt_ids"][t : t + 2],
+                max_tracks,
+            )
+            asso_gt_pairs[t] = gp
+            track_valid_pairs[t] = tv
+
+        return {
+            "query_features": spot_out["query_features"],
+            "prop_valid": jnp.asarray(prop_valid),
+            "res_match_mask": jnp.asarray(res_match_mask),
+            "num_inst": jnp.asarray(float(num_inst)),
+            "asso_gt": jnp.asarray(asso_gt),
+            "match_cues": jnp.asarray(match_cues),
+            "track_valid": jnp.asarray(track_valid),
+            "asso_gt_pairs": jnp.asarray(asso_gt_pairs),
+            "track_valid_pairs": jnp.asarray(track_valid_pairs),
+        }
+
+    # ------------------------------------------------------------------
+    def step(self, images: np.ndarray, image_hw, targets: Dict) -> Dict[str, float]:
+        """One full training iteration on one clip."""
+        spot_out = self._spot(self.state.frozen, self.state.trainable, images, image_hw)
+        spot_out = {k: (None if v is None else np.asarray(v)) for k, v in spot_out.items()}
+        batch = self.prepare_batch(spot_out, targets)
+        batch["query_features"] = jnp.asarray(spot_out["query_features"])
+        self.state, metrics = self._update(self.state, batch)
+        return {k: float(v) for k, v in metrics.items()}

@@ -225,6 +225,16 @@ class GoMatchingModel(nn.Module):
         """Padded association transformer pass (see LSTMatcherHead.associate)."""
         return self.tracker.associate(reid_tokens, valid, short_term)
 
+    # thin method aliases used by the training engine
+    def rescore_features(self, query_features):
+        return self.tracker.rescore(query_features)
+
+    def reid_features(self, query_features):
+        return self.tracker.reid(query_features)
+
+    def associate_tokens(self, tokens, valid, short_term: bool):
+        return self.tracker.associate(tokens, valid, short_term)
+
     def __call__(self, images, image_hw=None):
         """Full forward touching every submodule (also the init path)."""
         det = self.spot_and_detect(images, image_hw)

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Training driver for the GoMatching tracker head (spotter frozen).
+
+CLI-compatible with the reference train_net.py: --config-file, --resume, --opts.
+Flow parity (train_net.py:50-156): freeze policy -> optimizer -> checkpoint
+resume -> rescoring-head init from the spotter classifier -> iteration loop with
+loss logging, LR schedule, periodic checkpointing. TPU-first: the step is the
+3-phase Trainer (jit spotter fwd -> host Hungarian/GT -> jit loss+grad+update).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", required=True, metavar="FILE")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--num-gpus", type=int, default=1, help="accepted for CLI parity; the TPU mesh is auto-detected")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--max-iter", type=int, default=-1, help="override for smoke runs")
+    p.add_argument("--opts", default=[], nargs=argparse.REMAINDER)
+    return p
+
+
+def normalize_clip(sample, pixel_mean, pixel_std, pad_multiple: int = 32):
+    """Stack clip frames -> (T, Hp, Wp, 3) normalized; return true (h, w)."""
+    h, w = sample.image_hw
+    hp = -(-h // pad_multiple) * pad_multiple
+    wp = -(-w // pad_multiple) * pad_multiple
+    mean = np.asarray(pixel_mean, np.float32)
+    std = np.asarray(pixel_std, np.float32)
+    batch = np.zeros((len(sample.images), hp, wp, 3), np.float32)
+    for i, img in enumerate(sample.images):
+        batch[i, :h, :w] = (img - mean) / std
+    return batch, (h, w)
+
+
+def targets_from_sample(sample):
+    """Normalize GT to [0,1] coords (GoMatching.prepare_targets,
+    gom_lstmatcher.py:192-211 + _get_boxes_time :478-495)."""
+    h, w = sample.image_hw
+    scale = np.asarray([w, h], np.float32)
+    return {
+        "gt_ctrl": [c / scale for c in sample.gt_ctrl],
+        "gt_boxes": [b / np.asarray([w, h, w, h], np.float32) for b in sample.gt_boxes],
+        "gt_ids": sample.gt_ids,
+        "gt_texts": sample.gt_texts,
+    }
+
+
+def init_rescoring_from_classifier(params):
+    """Copy the spotter's ctrl_point_class weights into the rescoring head
+    (train_net.py:97-105) — done whenever the checkpoint is not already a
+    GoMatching one ('_rescore' marker in the weights path)."""
+    src = params["params"]["detection_transformer"]["ctrl_point_class"]
+    dst = params["params"]["roi_heads"]["rescoring_head"]
+    dst["kernel"] = np.asarray(src["kernel"]).copy()
+    dst["bias"] = np.asarray(src["bias"]).copy()
+    return params
+
+
+def main():
+    args = get_parser().parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from gomatching_tpu.config import setup_train_cfg
+    from gomatching_tpu.data.loader import build_train_loader
+    from gomatching_tpu.engine.predictor import init_params
+    from gomatching_tpu.engine.train import Trainer
+    from gomatching_tpu.models.gomatching import build_model
+
+    cfg = setup_train_cfg(args.config_file, args.opts)
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
+
+    model = build_model(cfg)
+    weights = cfg.MODEL.WEIGHTS
+    if weights and os.path.exists(weights):
+        from gomatching_tpu.engine.checkpoint import load_params
+
+        params = load_params(weights)
+        if "_rescore" not in weights and cfg.MODEL.ROI_HEADS.WITH_RESR:
+            params = init_rescoring_from_classifier(params)
+        print(f"loaded weights from {weights}")
+    else:
+        params = init_params(model)
+        if cfg.MODEL.ROI_HEADS.WITH_RESR:
+            params = init_rescoring_from_classifier(params)
+        print("no pretrained weights found - training from random init")
+
+    trainer = Trainer(cfg, model, params)
+    n_train = sum(x.size for x in __import__("jax").tree.leaves(trainer.state.trainable))
+    n_total = n_train + sum(x.size for x in __import__("jax").tree.leaves(trainer.state.frozen))
+    print(f"trainable params: {n_train / 1e6:.2f}M / total {n_total / 1e6:.2f}M")
+
+    loader = build_train_loader(cfg)
+    max_iter = args.max_iter if args.max_iter > 0 else cfg.SOLVER.MAX_ITER
+    ckpt_dir = os.path.join(cfg.OUTPUT_DIR, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    metrics_path = os.path.join(cfg.OUTPUT_DIR, "metrics.json")
+
+    it = iter(loader)
+    data_t, step_t = 0.0, 0.0
+    log_every = 20
+    with open(metrics_path, "a") as mf:
+        for i in range(max_iter):
+            t0 = time.time()
+            sample = next(it)
+            images, _ = normalize_clip(sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD)
+            targets = targets_from_sample(sample)
+            data_t += time.time() - t0
+            t0 = time.time()
+            metrics = trainer.step(images, None, targets)
+            step_t += time.time() - t0
+            assert np.isfinite(metrics["total_loss"]), f"loss diverged at iter {i}: {metrics}"
+            if (i + 1) % log_every == 0:
+                lr = float(trainer.schedule(i))
+                line = {
+                    "iteration": i + 1,
+                    "lr": lr,
+                    "data_time": data_t / log_every,
+                    "time": step_t / log_every,
+                    **metrics,
+                }
+                mf.write(json.dumps(line) + "\n")
+                mf.flush()
+                print(
+                    f"iter {i + 1}/{max_iter} loss {metrics['total_loss']:.4f} "
+                    f"res {metrics.get('loss_res', 0):.4f} long {metrics['loss_long_asso']:.4f} "
+                    f"short {metrics['loss_short_asso']:.4f} lr {lr:.2e} "
+                    f"({step_t / log_every:.2f}s/it, data {data_t / log_every:.2f}s)"
+                )
+                data_t, step_t = 0.0, 0.0
+            if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (i + 1) == max_iter:
+                from gomatching_tpu.engine.checkpoint import save_params
+                from gomatching_tpu.engine.train import merge_params
+
+                save_params(
+                    os.path.join(ckpt_dir, f"model_{i + 1:07d}_rescore.npz"),
+                    merge_params(trainer.state.trainable, trainer.state.frozen),
+                )
+                print(f"saved checkpoint at iter {i + 1}")
+
+
+if __name__ == "__main__":
+    main()
