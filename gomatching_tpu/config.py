@@ -386,6 +386,10 @@ def get_cfg() -> CfgNode:
     r.SPOT_BATCH = 8  # frames spotted per device step during video inference
     r.MAX_INST = 100  # static per-frame instance capacity after thresholding
     r.PAD_TO = 32  # frame padding multiple for static feature shapes
+    # deformable-attention sampling implementation: 'xla' (gather-based, works
+    # everywhere) or 'pallas' (fused VMEM-gather kernel; requires a Mosaic-capable
+    # toolchain - see ops/deform_attn_pallas.py)
+    r.SAMPLING_IMPL = "xla"
     c.TPU = r
 
     return c

@@ -31,6 +31,20 @@ from ..tracking.tracker import FrameDetections, Tracker
 from ..utils.ctc import ctc_decode, load_char_table
 
 
+def cast_frozen_params(params, dtype):
+    """Cast the frozen spotter subtrees (backbone + detection_transformer) to the
+    compute dtype so the whole frozen path runs in bf16 (flax promotes mixed
+    f32-param/bf16-input Dense back to f32, so a cast at load time is required)."""
+    import jax.numpy as jnp
+
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    p = dict(params["params"])
+    for k in ("backbone", "detection_transformer"):
+        if k in p:
+            p[k] = jax.tree.map(lambda x: x.astype(dt), p[k])
+    return {"params": p}
+
+
 def init_params(model: GoMatchingModel, seed: int = 0, image_size=None):
     """Random-init the full parameter tree.
 
@@ -64,6 +78,8 @@ class VideoPredictor:
         self.model = build_model(cfg)
         if params is None:
             params = self._load_or_init(cfg)
+        if cfg.MODEL.PRECISION == "bfloat16":
+            params = cast_frozen_params(params, "bfloat16")
         self.params = params
         self.spot_batch = cfg.TPU.SPOT_BATCH
         self.char_table = load_char_table(

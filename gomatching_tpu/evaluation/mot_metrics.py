@@ -1,0 +1,224 @@
+"""MOT metrics: MOTA / MOTP / IDF1 / MT-PT-ML, CLEAR-MOT event accumulation.
+
+A clean-room implementation of the MOTChallenge scoring used by the reference's
+offline protocols (tools/Evaluation_Protocol_*/motmetrics — vendored upstream
+py-motmetrics). Semantics:
+
+  - per frame, previous gt->hyp correspondences are kept while still within the
+    match threshold; remaining pairs are solved by Hungarian on the distance
+    matrix; a gt matching a different hyp than its last correspondence counts an
+    ID switch;
+  - MOTA = 1 - (FN + FP + IDSW) / num_gt;  MOTP here reported as average overlap
+    of matches (the ICDAR video protocols report 1 - avg distance, i.e. IoU);
+  - IDF1 per Ristani et al.: trajectory-level bipartite assignment maximizing
+    per-frame matchable overlap counts.
+
+Distances are 1 - polygon IoU (convex quadrilaterals, Sutherland-Hodgman clip).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.hungarian import solve
+
+
+# ---------------------------------------------------------------------------
+# convex polygon IoU
+# ---------------------------------------------------------------------------
+
+
+def _poly_area(p: np.ndarray) -> float:
+    x, y = p[:, 0], p[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def _clip_poly(subject: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Clip polygon by the half-plane left of edge a->b."""
+    out = []
+    n = len(subject)
+    for i in range(n):
+        cur, nxt = subject[i], subject[(i + 1) % n]
+        side_cur = (b[0] - a[0]) * (cur[1] - a[1]) - (b[1] - a[1]) * (cur[0] - a[0])
+        side_nxt = (b[0] - a[0]) * (nxt[1] - a[1]) - (b[1] - a[1]) * (nxt[0] - a[0])
+        if side_cur >= 0:
+            out.append(cur)
+        if (side_cur >= 0) != (side_nxt >= 0):
+            t = side_cur / (side_cur - side_nxt)
+            out.append(cur + t * (nxt - cur))
+    return np.asarray(out) if out else np.zeros((0, 2))
+
+
+def _ccw(p: np.ndarray) -> np.ndarray:
+    x, y = p[:, 0], p[:, 1]
+    if float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) < 0:
+        return p[::-1]
+    return p
+
+
+def polygon_iou(p1: np.ndarray, p2: np.ndarray) -> float:
+    """IoU of two convex polygons ((n, 2) arrays)."""
+    a1, a2 = _poly_area(p1), _poly_area(p2)
+    if a1 <= 0 or a2 <= 0:
+        return 0.0
+    clip = _ccw(np.asarray(p2, np.float64))
+    inter = _ccw(np.asarray(p1, np.float64))
+    for i in range(len(clip)):
+        inter = _clip_poly(inter, clip[i], clip[(i + 1) % len(clip)])
+        if len(inter) == 0:
+            return 0.0
+    ai = _poly_area(inter)
+    return ai / (a1 + a2 - ai)
+
+
+def quad_iou_matrix(gt_quads: np.ndarray, hyp_quads: np.ndarray) -> np.ndarray:
+    """(G, 8) x (H, 8) -> (G, H) IoU matrix."""
+    G, H = len(gt_quads), len(hyp_quads)
+    out = np.zeros((G, H))
+    for i in range(G):
+        for j in range(H):
+            out[i, j] = polygon_iou(
+                gt_quads[i].reshape(4, 2), hyp_quads[j].reshape(4, 2)
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLEAR-MOT accumulator
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MOTAccumulator:
+    iou_threshold: float = 0.5
+    num_gt: int = 0
+    num_hyp: int = 0
+    num_matches: int = 0
+    num_switches: int = 0
+    num_fp: int = 0
+    num_misses: int = 0
+    total_overlap: float = 0.0
+    last_match: Dict = field(default_factory=dict)  # gt_id -> hyp_id
+    gt_frames: Dict = field(default_factory=dict)  # gt_id -> frame count
+    hyp_frames: Dict = field(default_factory=dict)
+    pair_overlap: Dict = field(default_factory=dict)  # (gt_id, hyp_id) -> matchable count
+    gt_matched_frames: Dict = field(default_factory=dict)  # gt_id -> matched count
+
+    def update(
+        self,
+        gt_ids: List,
+        gt_quads: np.ndarray,
+        hyp_ids: List,
+        hyp_quads: np.ndarray,
+        texts: Optional[Tuple[List[str], List[str]]] = None,
+    ):
+        G, H = len(gt_ids), len(hyp_ids)
+        self.num_gt += G
+        self.num_hyp += H
+        for g in gt_ids:
+            self.gt_frames[g] = self.gt_frames.get(g, 0) + 1
+        for h in hyp_ids:
+            self.hyp_frames[h] = self.hyp_frames.get(h, 0) + 1
+
+        iou = quad_iou_matrix(gt_quads, hyp_quads) if G and H else np.zeros((G, H))
+        if texts is not None and G and H:
+            # E2E spotting: transcription must also match
+            g_txt, h_txt = texts
+            mism = np.asarray(
+                [[g_txt[i] != h_txt[j] for j in range(H)] for i in range(G)]
+            )
+            iou = np.where(mism, 0.0, iou)
+        valid = iou >= self.iou_threshold
+
+        # id-level matchable counts for IDF1
+        for i in range(G):
+            for j in range(H):
+                if valid[i, j]:
+                    key = (gt_ids[i], hyp_ids[j])
+                    self.pair_overlap[key] = self.pair_overlap.get(key, 0) + 1
+
+        matched_g, matched_h = set(), set()
+        matches = {}
+        # 1. keep previous correspondences that remain valid
+        for i, g in enumerate(gt_ids):
+            h_prev = self.last_match.get(g)
+            if h_prev is not None and h_prev in hyp_ids:
+                j = hyp_ids.index(h_prev)
+                if valid[i, j]:
+                    matches[g] = (h_prev, iou[i, j])
+                    matched_g.add(i)
+                    matched_h.add(j)
+        # 2. Hungarian on the rest (maximize IoU)
+        free_g = [i for i in range(G) if i not in matched_g]
+        free_h = [j for j in range(H) if j not in matched_h]
+        if free_g and free_h:
+            sub = iou[np.ix_(free_g, free_h)]
+            cost = np.where(sub >= self.iou_threshold, 1.0 - sub, 1e6)
+            ri, ci = solve(cost)
+            for r, c in zip(ri, ci):
+                if sub[r, c] >= self.iou_threshold:
+                    g, h = gt_ids[free_g[r]], hyp_ids[free_h[c]]
+                    matches[g] = (h, sub[r, c])
+                    matched_g.add(free_g[r])
+                    matched_h.add(free_h[c])
+
+        for g, (h, ov) in matches.items():
+            prev = self.last_match.get(g)
+            if prev is not None and prev != h:
+                self.num_switches += 1
+            self.last_match[g] = h
+            self.num_matches += 1
+            self.total_overlap += ov
+            self.gt_matched_frames[g] = self.gt_matched_frames.get(g, 0) + 1
+        self.num_misses += G - len(matches)
+        self.num_fp += H - len(matches)
+
+    # ------------------------------------------------------------------
+    def metrics(self) -> Dict[str, float]:
+        mota = (
+            1.0 - (self.num_misses + self.num_fp + self.num_switches) / self.num_gt
+            if self.num_gt
+            else 0.0
+        )
+        motp = self.total_overlap / self.num_matches if self.num_matches else 0.0
+
+        # IDF1 via trajectory-level LAP
+        gt_ids = sorted(self.gt_frames)
+        hyp_ids = sorted(self.hyp_frames)
+        Gn, Hn = len(gt_ids), len(hyp_ids)
+        idtp = 0
+        if Gn and Hn:
+            overlap = np.zeros((Gn, Hn))
+            for (g, h), c in self.pair_overlap.items():
+                overlap[gt_ids.index(g), hyp_ids.index(h)] = c
+            ri, ci = solve(-overlap)
+            idtp = int(sum(overlap[r, c] for r, c in zip(ri, ci)))
+        sum_gt = sum(self.gt_frames.values())
+        sum_hyp = sum(self.hyp_frames.values())
+        idf1 = 2 * idtp / (sum_gt + sum_hyp) if (sum_gt + sum_hyp) else 0.0
+
+        mt = pt = ml = 0
+        for g, total in self.gt_frames.items():
+            ratio = self.gt_matched_frames.get(g, 0) / total
+            if ratio >= 0.8:
+                mt += 1
+            elif ratio <= 0.2:
+                ml += 1
+            else:
+                pt += 1
+
+        return {
+            "MOTA": mota,
+            "MOTP": motp,
+            "IDF1": idf1,
+            "IDSW": self.num_switches,
+            "FP": self.num_fp,
+            "FN": self.num_misses,
+            "MT": mt,
+            "PT": pt,
+            "ML": ml,
+            "num_gt": self.num_gt,
+        }

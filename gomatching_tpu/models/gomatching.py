@@ -69,6 +69,7 @@ class GoMatchingModel(nn.Module):
     nms_thresh: float = 0.5
     # compute dtype for the frozen spotter path
     compute_dtype: str = "float32"
+    sampling_impl: str = "xla"
 
     def setup(self):
         if self.backbone_name == "build_resnet_backbone":
@@ -100,6 +101,7 @@ class GoMatchingModel(nn.Module):
             temperature=self.temperature,
             in_channels=BACKBONE_CHANNELS[self.backbone_name],
             boundary_head=self.boundary_head,
+            sampling_impl=self.sampling_impl,
             name="detection_transformer",
         )
         self.tracker = LSTMatcherHead(
@@ -161,7 +163,7 @@ class GoMatchingModel(nn.Module):
             out["re_pred_logits"] = None
         return out
 
-    def detect(self, out, image_hw_scale: jnp.ndarray):
+    def detect(self, out, image_hw_scale: jnp.ndarray, score_thresh=None):
         """Score fusion + threshold + NMS + reid over the static query axis.
 
         Parity: GoMatching.detection (gom_lstmatcher.py:579-651) + the NMS/proposal
@@ -192,7 +194,8 @@ class GoMatchingModel(nn.Module):
         y_max = jnp.max(pts[..., 1], axis=-1)
         boxes = jnp.stack([x_min, y_min, x_max, y_max], axis=-1)  # (B, nq, 4)
 
-        sel = final_scores > self.test_score_threshold
+        thresh = self.test_score_threshold if score_thresh is None else score_thresh
+        sel = final_scores > thresh
         keep = jax.vmap(lambda bx, sc, va: nms_mask(bx, sc, va, self.nms_thresh))(
             boxes, final_scores, sel
         )
@@ -210,7 +213,7 @@ class GoMatchingModel(nn.Module):
             "reid": reid,
         }
 
-    def spot_and_detect(self, images, image_hw: Optional[jnp.ndarray] = None):
+    def spot_and_detect(self, images, image_hw: Optional[jnp.ndarray] = None, score_thresh=None):
         out = self.spot(images, image_hw)
         b = images.shape[0]
         if image_hw is None:
@@ -219,7 +222,7 @@ class GoMatchingModel(nn.Module):
             )
         else:
             hw = image_hw.astype(jnp.float32)
-        return self.detect(out, hw)
+        return self.detect(out, hw, score_thresh)
 
     def associate(self, reid_tokens, valid, short_term: bool):
         """Padded association transformer pass (see LSTMatcherHead.associate)."""
@@ -277,4 +280,5 @@ def build_model(cfg) -> GoMatchingModel:
         test_score_threshold=t.INFERENCE_TH_TEST,
         nms_thresh=cfg.VIDEO_TEST.NMS_THRESH,
         compute_dtype=cfg.MODEL.PRECISION,
+        sampling_impl=cfg.TPU.SAMPLING_IMPL,
     )

@@ -72,6 +72,7 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    sampling_impl: str = "xla"  # 'xla' | 'pallas'
 
     @nn.compact
     def __call__(
@@ -109,7 +110,12 @@ class MSDeformAttn(nn.Module):
         wh = jnp.asarray([[w, h] for h, w in spatial_shapes], dtype=jnp.float32)  # (L, 2)
         loc = reference_points[:, :, None, :, None, :] + offsets / wh[None, None, None, :, None, :]
 
-        out = ms_deform_attn_core(value, spatial_shapes, loc, attn, query_chunk=query_chunk)
+        if self.sampling_impl == "pallas":
+            from .. ops.deform_attn_pallas import ms_deform_attn_pallas
+
+            out = ms_deform_attn_pallas(value, spatial_shapes, loc, attn)
+        else:
+            out = ms_deform_attn_core(value, spatial_shapes, loc, attn, query_chunk=query_chunk)
         return nn.Dense(C, name="output_proj")(out)
 
 
@@ -121,11 +127,13 @@ class EncoderLayer(nn.Module):
     n_levels: int
     n_heads: int
     n_points: int
+    sampling_impl: str = "xla"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, token_valid):
         attn = MSDeformAttn(
-            self.d_model, self.n_levels, self.n_heads, self.n_points, name="self_attn"
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            sampling_impl=self.sampling_impl, name="self_attn"
         )(src + pos, reference_points, src, spatial_shapes, token_valid)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn)
         return FFN(self.dim_feedforward, name="ffn")(src)
@@ -140,6 +148,7 @@ class DecoderLayer(nn.Module):
     n_levels: int
     n_heads: int
     n_points: int
+    sampling_impl: str = "xla"
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, memory, spatial_shapes, token_valid):
@@ -161,7 +170,8 @@ class DecoderLayer(nn.Module):
         flat_q = (tgt + query_pos).reshape(B, nq * npts, C)
         flat_ref = reference_points.reshape(B, nq * npts, self.n_levels, 2)
         out = MSDeformAttn(
-            self.d_model, self.n_levels, self.n_heads, self.n_points, name="attn_cross"
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            sampling_impl=self.sampling_impl, name="attn_cross"
         )(flat_q, flat_ref, memory, spatial_shapes, token_valid, query_chunk=8192)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm_cross")(tgt + out.reshape(tgt.shape))
 
@@ -192,6 +202,7 @@ class DeepSoloSpotter(nn.Module):
     in_channels: Tuple[int, ...] = (512, 1024, 2048)
     boundary_head: bool = True
     return_enc_outputs: bool = False
+    sampling_impl: str = "xla"
 
     def setup(self):
         C = self.d_model
@@ -232,6 +243,7 @@ class DeepSoloSpotter(nn.Module):
                 self.num_feature_levels,
                 self.n_heads,
                 self.enc_n_points,
+                sampling_impl=self.sampling_impl,
                 name=f"encoder_layer_{i}",
             )
             for i in range(self.num_encoder_layers)
@@ -243,6 +255,7 @@ class DeepSoloSpotter(nn.Module):
                 self.num_feature_levels,
                 self.n_heads,
                 self.dec_n_points,
+                sampling_impl=self.sampling_impl,
                 name=f"decoder_layer_{i}",
             )
             for i in range(self.num_decoder_layers)

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Offline tracking / end-to-end spotting evaluation on ICDAR-style XML results.
+
+Native replacement for the reference protocol scripts
+(tools/Evaluation_Protocol_{DSText,ArtVideo,...}/): scores res_*.xml predictions
+against GT XML with CLEAR-MOT metrics (MOTA/MOTP/IDF1/IDSW/MT/PT/ML). With
+--e2e, a hypothesis additionally must match the GT transcription
+(case-insensitive) to count, mirroring the E2E spotting protocol
+(E2E_video_2_0.py). GT boxes with transcription '###' (ignore regions) are
+removed along with hypotheses that overlap them, per the RRC convention.
+
+Usage:
+  python tools/eval_tracking.py --gt <gt_xml_dir> --res <pred_xml_dir> [--e2e]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import xml.etree.cElementTree as ET
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from gomatching_tpu.evaluation.mot_metrics import MOTAccumulator, quad_iou_matrix
+
+
+def parse_xml(path):
+    """-> {frame_id: (ids, quads (n, 8), transcriptions)}"""
+    root = ET.parse(path).getroot()
+    frames = {}
+    for fr in root:
+        ids, quads, txts = [], [], []
+        for obj in fr:
+            pts = [(int(p.attrib["x"]), int(p.attrib["y"])) for p in obj]
+            if len(pts) != 4:
+                continue
+            ids.append(int(obj.attrib["ID"]))
+            quads.append(np.asarray(pts, np.float64).reshape(8))
+            txts.append(obj.attrib.get("Transcription", ""))
+        frames[int(fr.attrib["ID"])] = (ids, np.asarray(quads).reshape(-1, 8), txts)
+    return frames
+
+
+def evaluate_video(gt_frames, res_frames, iou_threshold=0.5, e2e=False):
+    acc = MOTAccumulator(iou_threshold=iou_threshold)
+    for frame in sorted(gt_frames):
+        g_ids, g_quads, g_txts = gt_frames[frame]
+        h_ids, h_quads, h_txts = res_frames.get(frame, ([], np.zeros((0, 8)), []))
+
+        # drop ignore regions + hypotheses overlapping them
+        keep_g = [i for i, t in enumerate(g_txts) if t != "###" and t.lower() != "#1"]
+        ign_g = [i for i in range(len(g_ids)) if i not in keep_g]
+        if ign_g and len(h_ids):
+            iou_ign = quad_iou_matrix(g_quads[ign_g], h_quads)
+            keep_h = [j for j in range(len(h_ids)) if iou_ign[:, j].max(initial=0.0) < iou_threshold]
+        else:
+            keep_h = list(range(len(h_ids)))
+
+        g_ids2 = [g_ids[i] for i in keep_g]
+        g_quads2 = g_quads[keep_g]
+        h_ids2 = [h_ids[j] for j in keep_h]
+        h_quads2 = h_quads[keep_h]
+
+        texts = None
+        if e2e:
+            texts = (
+                [g_txts[i].lower() for i in keep_g],
+                [h_txts[j].lower() for j in keep_h],
+            )
+        acc.update(g_ids2, g_quads2, h_ids2, h_quads2, texts=texts)
+    return acc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gt", required=True, help="directory of GT xml (one per video)")
+    ap.add_argument("--res", required=True, help="directory of res_*.xml predictions")
+    ap.add_argument("--iou", type=float, default=0.5)
+    ap.add_argument("--e2e", action="store_true", help="require transcription match")
+    args = ap.parse_args()
+
+    totals = MOTAccumulator(iou_threshold=args.iou)
+    per_video = {}
+    for name in sorted(os.listdir(args.gt)):
+        if not name.endswith(".xml"):
+            continue
+        video = name.replace(".xml", "").replace("gt_", "").replace("GT_", "")
+        res_candidates = [
+            os.path.join(args.res, f"res_{video}.xml"),
+            os.path.join(args.res, name),
+        ]
+        res_path = next((p for p in res_candidates if os.path.exists(p)), None)
+        gt_frames = parse_xml(os.path.join(args.gt, name))
+        res_frames = parse_xml(res_path) if res_path else {}
+        acc = evaluate_video(gt_frames, res_frames, args.iou, args.e2e)
+        per_video[video] = acc.metrics()
+        # accumulate into totals (merge counters)
+        for f in (
+            "num_gt", "num_hyp", "num_matches", "num_switches", "num_fp", "num_misses"
+        ):
+            setattr(totals, f, getattr(totals, f) + getattr(acc, f))
+        totals.total_overlap += acc.total_overlap
+        for d_name in ("gt_frames", "hyp_frames", "pair_overlap", "gt_matched_frames"):
+            dst = getattr(totals, d_name)
+            for k, v in getattr(acc, d_name).items():
+                kk = (video, k) if not isinstance(k, tuple) else (video, k[0], k[1])
+                dst[kk] = v
+        # fix pair_overlap keys: needs (gt,hyp) tuple keys scoped per video
+    # rebuild pair_overlap into tuple-key form the metrics expect
+    fixed = {}
+    for k, v in totals.pair_overlap.items():
+        # k == (video, gt_id, hyp_id)
+        fixed[((k[0], k[1]), (k[0], k[2]))] = v
+    totals.pair_overlap = fixed
+
+    m = totals.metrics()
+    print(f"{'video':<28} {'MOTA':>7} {'MOTP':>7} {'IDF1':>7} {'IDSW':>5} {'FP':>6} {'FN':>6}")
+    for v, mm in per_video.items():
+        print(
+            f"{v:<28} {mm['MOTA'] * 100:>6.2f}% {mm['MOTP'] * 100:>6.2f}% "
+            f"{mm['IDF1'] * 100:>6.2f}% {mm['IDSW']:>5} {mm['FP']:>6} {mm['FN']:>6}"
+        )
+    print("-" * 70)
+    print(
+        f"{'OVERALL':<28} {m['MOTA'] * 100:>6.2f}% {m['MOTP'] * 100:>6.2f}% "
+        f"{m['IDF1'] * 100:>6.2f}% {m['IDSW']:>5} {m['FP']:>6} {m['FN']:>6}"
+    )
+
+
+if __name__ == "__main__":
+    main()
