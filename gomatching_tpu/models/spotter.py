@@ -82,7 +82,7 @@ class MSDeformAttn(nn.Module):
         value_tokens: jnp.ndarray,  # (B, S, C)
         spatial_shapes: Sequence[Tuple[int, int]],
         token_valid: Optional[jnp.ndarray] = None,  # (B, S) True where real
-        query_chunk: int = 4096,
+        query_chunk: int = 0,
     ) -> jnp.ndarray:
         B, Lq, C = query.shape
         M, L, P = self.n_heads, self.n_levels, self.n_points
@@ -172,7 +172,7 @@ class DecoderLayer(nn.Module):
         out = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             sampling_impl=self.sampling_impl, name="attn_cross"
-        )(flat_q, flat_ref, memory, spatial_shapes, token_valid, query_chunk=8192)
+        )(flat_q, flat_ref, memory, spatial_shapes, token_valid, query_chunk=0)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm_cross")(tgt + out.reshape(tgt.shape))
 
         return FFN(self.dim_feedforward, name="ffn")(tgt)
