@@ -29,7 +29,10 @@ def _flatten(tree, prefix=""):
     return out
 
 
-def test_converter_round_trip():
+@pytest.mark.parametrize(
+    "backbone", ["build_resnet_backbone", "build_swin_backbone", "build_vitaev2_backbone"]
+)
+def test_converter_round_trip(backbone):
     """Build a torch-style state_dict carrying our init values through the inverse
     transforms; converting it must reproduce the exact param tree."""
     import sys
@@ -41,7 +44,9 @@ def test_converter_round_trip():
     from gomatching_tpu.engine.predictor import init_params
     from gomatching_tpu.models.gomatching import build_model
 
-    cfg = setup_eval_cfg("configs/GoMatching_ICDAR15.yaml", list(TINY_OPTS))
+    cfg = setup_eval_cfg(
+        "configs/GoMatching_ICDAR15.yaml", list(TINY_OPTS) + ["MODEL.BACKBONE.NAME", backbone]
+    )
     model = build_model(cfg)
     params = init_params(model, image_size=(64, 64))
     flat = _flatten(params["params"])

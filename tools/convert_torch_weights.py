@@ -68,22 +68,86 @@ def build_key_map(cfg) -> Dict[str, tuple]:
     t = cfg.MODEL.TRANSFORMER
     m: Dict[str, tuple] = {}
 
-    # ---- ResNet backbone (detectron2 naming) ----
     bb = "backbone.0.backbone"
-    _conv(m, f"{bb}.stem.conv1", "backbone", "stem_conv1")
-    _frozen_bn(m, f"{bb}.stem.conv1.norm", "backbone", "stem_norm1")
-    blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[cfg.MODEL.RESNETS.DEPTH]
-    for si, nb in enumerate(blocks):
-        stage = f"res{si + 2}"
-        for b in range(nb):
-            tb = f"{bb}.{stage}.{b}"
-            ob = f"{stage}_{b}"
-            if b == 0:
-                _conv(m, f"{tb}.shortcut", "backbone", f"{ob}/shortcut")
-                _frozen_bn(m, f"{tb}.shortcut.norm", "backbone", f"{ob}/shortcut_norm")
-            for ci in (1, 2, 3):
-                _conv(m, f"{tb}.conv{ci}", "backbone", f"{ob}/conv{ci}")
-                _frozen_bn(m, f"{tb}.conv{ci}.norm", "backbone", f"{ob}/norm{ci}")
+    bname = cfg.MODEL.BACKBONE.NAME
+    if bname == "build_resnet_backbone":
+        # ---- ResNet backbone (detectron2 naming) ----
+        _conv(m, f"{bb}.stem.conv1", "backbone", "stem_conv1")
+        _frozen_bn(m, f"{bb}.stem.conv1.norm", "backbone", "stem_norm1")
+        blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[cfg.MODEL.RESNETS.DEPTH]
+        for si, nb in enumerate(blocks):
+            stage = f"res{si + 2}"
+            for b in range(nb):
+                tb = f"{bb}.{stage}.{b}"
+                ob = f"{stage}_{b}"
+                if b == 0:
+                    _conv(m, f"{tb}.shortcut", "backbone", f"{ob}/shortcut")
+                    _frozen_bn(m, f"{tb}.shortcut.norm", "backbone", f"{ob}/shortcut_norm")
+                for ci in (1, 2, 3):
+                    _conv(m, f"{tb}.conv{ci}", "backbone", f"{ob}/conv{ci}")
+                    _frozen_bn(m, f"{tb}.conv{ci}.norm", "backbone", f"{ob}/norm{ci}")
+    elif bname == "build_swin_backbone":
+        # ---- Swin backbone (adet/modeling/swin/swin_transformer.py naming) ----
+        _conv(m, f"{bb}.patch_embed.proj", "backbone", "patch_embed_proj", bias=True)
+        _layernorm(m, f"{bb}.patch_embed.norm", "backbone", "patch_embed_norm")
+        depths = {"tiny": (2, 2, 6, 2), "small": (2, 2, 18, 2)}[cfg.MODEL.SWIN.TYPE]
+        for si, nb in enumerate(depths):
+            for b in range(nb):
+                tb = f"{bb}.layers.{si}.blocks.{b}"
+                ob = f"layers_{si}_blocks_{b}"
+                _layernorm(m, f"{tb}.norm1", "backbone", f"{ob}/norm1")
+                _linear(m, f"{tb}.attn.qkv", "backbone", f"{ob}/attn/qkv")
+                _linear(m, f"{tb}.attn.proj", "backbone", f"{ob}/attn/proj")
+                m[f"{tb}.attn.relative_position_bias_table"] = (
+                    "copy", ("backbone", f"{ob}/attn", "relative_position_bias_table"))
+                _layernorm(m, f"{tb}.norm2", "backbone", f"{ob}/norm2")
+                _linear(m, f"{tb}.mlp.fc1", "backbone", f"{ob}/mlp_fc1")
+                _linear(m, f"{tb}.mlp.fc2", "backbone", f"{ob}/mlp_fc2")
+            if si < 3:
+                _layernorm(m, f"{bb}.layers.{si}.downsample.norm", "backbone",
+                           f"layers_{si}_downsample/norm")
+                m[f"{bb}.layers.{si}.downsample.reduction.weight"] = (
+                    "linear_w", ("backbone", f"layers_{si}_downsample/reduction", "kernel"))
+            if si in (1, 2, 3):
+                _layernorm(m, f"{bb}.norm{si}", "backbone", f"out_norm{si}")
+    elif bname == "build_vitaev2_backbone":
+        # ---- ViTAEv2-S backbone (adet/modeling/vitae_v2 naming) ----
+        nc_depths = (2, 2, 8, 2)
+        dilations = ((1, 2, 3, 4), (1, 2, 3), (1, 2), (1, 2))
+
+        def pcm(tprefix, oprefix):
+            # torch PCM = Sequential(conv,BN,SiLU,conv,BN,SiLU,conv) -> idx 0,1,3,4,6
+            for oi, ti in enumerate((0, 3, 6)):
+                _conv(m, f"{tprefix}.{ti}", "backbone", f"{oprefix}/conv{oi}", bias=True)
+            for oi, ti in enumerate((1, 4)):
+                _frozen_bn(m, f"{tprefix}.{ti}", "backbone", f"{oprefix}/bn{oi}")
+
+        def block(tprefix, oprefix, qkv_bias=True):
+            # shared subtree of WindowTransformerBlock / Token_transformer / NormalCell
+            _layernorm(m, f"{tprefix}.norm1", "backbone", f"{oprefix}/norm1")
+            m[f"{tprefix}.attn.qkv.weight"] = (
+                "linear_w", ("backbone", f"{oprefix}/attn/qkv", "kernel"))
+            if qkv_bias:  # T2T attention in the 'transformer' RCs is bias-free
+                m[f"{tprefix}.attn.qkv.bias"] = (
+                    "copy", ("backbone", f"{oprefix}/attn/qkv", "bias"))
+            _linear(m, f"{tprefix}.attn.proj", "backbone", f"{oprefix}/attn/proj")
+            _layernorm(m, f"{tprefix}.norm2", "backbone", f"{oprefix}/norm2")
+            _linear(m, f"{tprefix}.mlp.fc1", "backbone", f"{oprefix}/mlp/fc1")
+            _linear(m, f"{tprefix}.mlp.fc2", "backbone", f"{oprefix}/mlp/fc2")
+
+        tokens_types = ("window", "window", "transformer", "transformer")
+        for si in range(4):
+            trc = f"{bb}.layers.{si}.RC"
+            orc = f"layers_{si}_rc"
+            for k in range(len(dilations[si])):
+                _conv(m, f"{trc}.PRM.convs.{k}.0", "backbone", f"{orc}/prm/conv{k}", bias=True)
+            pcm(f"{trc}.PCM", f"{orc}/pcm")
+            block(f"{trc}.attn", orc, qkv_bias=(tokens_types[si] == "window"))
+            for b in range(nc_depths[si]):
+                tnc = f"{bb}.layers.{si}.NC.{b}"
+                onc = f"layers_{si}_nc_{b}"
+                block(tnc, onc)
+                pcm(f"{tnc}.PCM", f"{onc}/pcm")
 
     # ---- spotter ----
     dt = "detection_transformer"
