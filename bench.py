@@ -34,8 +34,8 @@ def _warmup_device():
 
 def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
-    spot_batch = int(os.environ.get("BENCH_BATCH", "4"))
-    precision = os.environ.get("BENCH_PRECISION", "float32")
+    spot_batch = int(os.environ.get("BENCH_BATCH", "2"))
+    precision = os.environ.get("BENCH_PRECISION", "bfloat16")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
@@ -60,34 +60,23 @@ def main():
 
     # calibrate a threshold giving ~20 dets/frame under random weights, so NMS +
     # reid + the sequential tracker do realistic work
-    from gomatching_tpu.data.preprocess import preprocess_frames
     import jax.numpy as jnp
 
-    batch, image_hw, _ = preprocess_frames(
-        frames[:spot_batch],
-        cfg.MODEL.PIXEL_MEAN,
-        cfg.MODEL.PIXEL_STD,
-        cfg.INPUT.FORMAT,
-        cfg.INPUT.MIN_SIZE_TEST,
-        cfg.INPUT.MAX_SIZE_TEST,
-    )
+    # calibrate a detection threshold giving ~20 instances/frame under random
+    # weights (the threshold is a traced arg on the predictor -> no recompile)
     t0 = time.time()
-    out = predictor._spot_fn(predictor.params, jnp.asarray(batch), None)
+    orig_hw = frames[0].shape[:2]
+    from gomatching_tpu.data.preprocess import compute_test_size
+
+    target_hw = compute_test_size(
+        orig_hw[0], orig_hw[1], cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST
+    )
+    spot = predictor._raw_spot_fn(tuple(orig_hw), target_hw)
+    raw = np.stack(frames[:spot_batch])
+    out = spot(predictor.params, jnp.asarray(raw), jnp.float32(predictor.score_thresh))
     scores = np.asarray(out["scores"])
     compile_s = time.time() - t0
-    thresh = float(np.quantile(scores, 1.0 - 20.0 / scores.shape[1]))
-    predictor.calib_thresh = thresh
-
-    # monkey-patch the spot path to use the calibrated threshold (traced arg, no recompile)
-    from gomatching_tpu.models.gomatching import GoMatchingModel
-
-    spot_fn = jax.jit(
-        lambda p, imgs, hw, th: predictor.model.apply(
-            p, imgs, hw, th, method=GoMatchingModel.spot_and_detect
-        )
-    )
-    orig = predictor._spot_fn
-    predictor._spot_fn = lambda p, imgs, hw: spot_fn(p, imgs, hw, jnp.float32(thresh))
+    predictor.score_thresh = float(np.quantile(scores, 1.0 - 20.0 / scores.shape[1]))
 
     # warmup (second compile for the thresholded variant + association buckets)
     predictor.process_video(frames[: 2 * spot_batch])

@@ -383,7 +383,8 @@ def get_cfg() -> CfgNode:
     r = CfgNode()
     r.MESH_DATA = -1  # -1: all devices on the data axis
     r.MESH_MODEL = 1
-    r.SPOT_BATCH = 8  # frames spotted per device step during video inference
+    r.SPOT_BATCH = 2  # frames spotted per device step during video inference
+    # (>2 at 1000px currently trips a TPU runtime fault on v5e; revisit per release)
     r.MAX_INST = 100  # static per-frame instance capacity after thresholding
     r.PAD_TO = 32  # frame padding multiple for static feature shapes
     # deformable-attention sampling implementation: 'xla' (gather-based, works

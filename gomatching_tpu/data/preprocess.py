@@ -47,6 +47,44 @@ def efficientdet_resize_crop_test(img: np.ndarray, size: int, h: int = -1, w: in
     return out, img_scale
 
 
+def compute_test_size(h: int, w: int, short: int, max_size: int) -> Tuple[int, int]:
+    """ResizeShortestEdge output size (d2 rounding): shorter edge -> ``short``,
+    capped so the longer edge <= ``max_size``."""
+    scale = short / min(h, w)
+    if h < w:
+        newh, neww = short, scale * w
+    else:
+        newh, neww = scale * h, short
+    if max(newh, neww) > max_size:
+        s = max_size / max(newh, neww)
+        newh, neww = newh * s, neww * s
+    return int(newh + 0.5), int(neww + 0.5)
+
+
+def device_preprocess(raw_u8, target_hw, pixel_mean, pixel_std, input_format="RGB"):
+    """On-device preprocessing: uint8 BGR (B, H, W, 3) -> normalized f32 batch.
+
+    Why on device: a tunneled TPU moves host bytes at tens of MB/s, so shipping
+    fp32 resized frames (~21 MB each at 1000px) costs ~1 s/batch; raw 720p uint8 is
+    2.7 MB/frame, and bilinear resize + normalize are effectively free on the VPU.
+    jax.image 'bilinear' uses half-pixel centers like PIL/cv2; for the upscale case
+    used by every GoMatching config this matches PIL BILINEAR semantics.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if input_format == "RGB":
+        raw_u8 = raw_u8[..., ::-1]
+    x = raw_u8.astype(jnp.float32)
+    B = x.shape[0]
+    h, w = target_hw
+    if (x.shape[1], x.shape[2]) != (h, w):
+        x = jax.image.resize(x, (B, h, w, 3), method="bilinear", antialias=False)
+    mean = jnp.asarray(pixel_mean, jnp.float32)
+    std = jnp.asarray(pixel_std, jnp.float32)
+    return (x - mean) / std
+
+
 def preprocess_frames(
     frames,
     pixel_mean,

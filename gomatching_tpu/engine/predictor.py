@@ -80,8 +80,15 @@ class VideoPredictor:
             params = self._load_or_init(cfg)
         if cfg.MODEL.PRECISION == "bfloat16":
             params = cast_frozen_params(params, "bfloat16")
-        self.params = params
+        # init traces on the host CPU for compile speed, which leaves the params
+        # COMMITTED to the CPU device — jit would then re-transfer every call
+        # (catastrophic through a tunneled TPU: ~2.3 s/step for ResNet-50 alone).
+        # Pin them to the default accelerator once.
+        self.params = jax.device_put(params, jax.devices()[0])
         self.spot_batch = cfg.TPU.SPOT_BATCH
+        # detection threshold: a traced scalar so callers (e.g. bench calibration)
+        # can adjust it without recompiling the spot program
+        self.score_thresh = float(cfg.MODEL.TRANSFORMER.INFERENCE_TH_TEST)
         self.char_table = load_char_table(
             cfg.MODEL.TRANSFORMER.VOC_SIZE, cfg.MODEL.TRANSFORMER.CUSTOM_DICT
         )
@@ -90,6 +97,7 @@ class VideoPredictor:
         self._spot_fn = jax.jit(
             lambda p, imgs, hw: self.model.apply(p, imgs, hw, method=GoMatchingModel.spot_and_detect)
         )
+        self._raw_spot_fns = {}  # (in_h, in_w) -> jitted uint8-raw-frames spot fn
         self._assoc_short = jax.jit(
             lambda p, toks, valid: self.model.apply(
                 p, toks, valid, True, method=GoMatchingModel.associate
@@ -128,36 +136,64 @@ class VideoPredictor:
                 return load_params(path)
         return init_params(self.model)
 
+    def _raw_spot_fn(self, orig_hw: tuple, target_hw: tuple):
+        """Jitted uint8-raw-frames -> detections fn (resize+normalize on device);
+        cached per input resolution (static shapes under jit)."""
+        key = (orig_hw, target_hw)
+        fn = self._raw_spot_fns.get(key)
+        if fn is None:
+            from ..data.preprocess import device_preprocess
+
+            mean = self.cfg.MODEL.PIXEL_MEAN
+            std = self.cfg.MODEL.PIXEL_STD
+            fmt = self.cfg.INPUT.FORMAT
+
+            def raw_fn(p, raw_u8, thresh):
+                imgs = device_preprocess(raw_u8, target_hw, mean, std, fmt)
+                return self.model.apply(
+                    p, imgs, None, thresh, method=GoMatchingModel.spot_and_detect
+                )
+
+            fn = jax.jit(raw_fn)
+            self._raw_spot_fns[key] = fn
+        return fn
+
     # ------------------------------------------------------------------
     def spot_frames(self, frames: List[np.ndarray], time_cost: Optional[Dict] = None):
         """BGR frames (one resolution) -> list of FrameDetections (untracked)."""
+        from ..data.preprocess import compute_test_size
+
         tc = time_cost if time_cost is not None else {}
         t0 = time.time()
-        batch, image_hw, orig_hw = preprocess_frames(
-            frames,
-            self.cfg.MODEL.PIXEL_MEAN,
-            self.cfg.MODEL.PIXEL_STD,
-            self.cfg.INPUT.FORMAT,
-            self.cfg.INPUT.MIN_SIZE_TEST,
-            self.cfg.INPUT.MAX_SIZE_TEST,
+        orig_hw = frames[0].shape[:2]
+        in_h, in_w = compute_test_size(
+            orig_hw[0], orig_hw[1],
+            self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST,
         )
+        batch = np.stack([np.ascontiguousarray(f) for f in frames])  # (N, H, W, 3) u8
+        spot = self._raw_spot_fn(orig_hw, (in_h, in_w))
         tc["pre_process"] = tc.get("pre_process", 0) + time.time() - t0
 
         dets: List[FrameDetections] = []
         t0 = time.time()
         n = len(batch)
         bs = self.spot_batch
-        outs = []
+        # dispatch every batch before fetching anything: JAX dispatch is async, so
+        # host<->device transfers of batch k overlap the spotter compute of batch
+        # k+1 (significant when the TPU is reached through a tunnel)
+        th = jnp.float32(self.score_thresh)
+        pending = []
         for s in range(0, n, bs):
             chunk = batch[s : s + bs]
             pad = bs - len(chunk)
             if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
-            out = self._spot_fn(self.params, jnp.asarray(chunk), None)
-            outs.append({k: np.asarray(v)[: len(chunk) - pad if pad else bs] for k, v in out.items()})
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
+            pending.append((spot(self.params, jnp.asarray(chunk), th), bs - pad))
+        outs = [
+            {k: np.asarray(v)[:keep] for k, v in out.items()} for out, keep in pending
+        ]
         tc["detector"] = tc.get("detector", 0) + time.time() - t0
 
-        in_h, in_w = int(image_hw[0, 0]), int(image_hw[0, 1])
         for ci, out in enumerate(outs):
             for i in range(len(out["scores"])):
                 valid = out["valid"][i]

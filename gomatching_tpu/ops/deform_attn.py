@@ -217,7 +217,7 @@ def ms_deform_attn_core(
     # B=1), but the unchunked intermediate OOMs at B=4 on 1000px inputs.
     if query_chunk <= 0:
         bytes_per_q = B * M * L * P * 4 * D * jnp.dtype(out_dtype).itemsize
-        query_chunk = max(1024, int(2e9) // max(bytes_per_q, 1))
+        query_chunk = max(1024, int(6e8) // max(bytes_per_q, 1))
     n_chunks = -(-Lq // min(query_chunk, Lq))
     chunk = -(-Lq // n_chunks)
     pad = n_chunks * chunk - Lq
