@@ -386,6 +386,7 @@ def get_cfg() -> CfgNode:
     r.SPOT_BATCH = 2  # frames spotted per device step during video inference
     # (>2 at 1000px currently trips a TPU runtime fault on v5e; revisit per release)
     r.MAX_INST = 100  # static per-frame instance capacity after thresholding
+    r.MAX_GT = 60  # static per-image GT capacity for pretraining targets
     r.PAD_TO = 32  # frame padding multiple for static feature shapes
     # deformable-attention sampling implementation: 'xla' (gather-based, works
     # everywhere) or 'pallas' (fused VMEM-gather kernel; requires a Mosaic-capable

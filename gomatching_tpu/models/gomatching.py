@@ -248,6 +248,104 @@ class GoMatchingModel(nn.Module):
         return det
 
 
+class SpotterPretrainModel(nn.Module):
+    """Image-spotter pretraining meta-arch (TransformerPureDetector equivalent,
+    third_party/adet/modeling/text_spotter.py:106): backbone + DeepSolo spotter
+    emitting last-layer + aux-layer + encoder outputs for ``SpotterCriterion``.
+    No tracker head; the whole model trains (no freezing)."""
+
+    backbone_name: str = "build_resnet_backbone"
+    resnet_depth: int = 50
+    hidden_dim: int = 256
+    n_heads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 1024
+    num_feature_levels: int = 4
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    num_queries: int = 100
+    num_points: int = 25
+    voc_size: int = 37
+    temperature: float = 10000.0
+    boundary_head: bool = True
+    sampling_impl: str = "xla"
+
+    def setup(self):
+        if self.backbone_name == "build_resnet_backbone":
+            self.backbone = ResNet(
+                depth=self.resnet_depth, out_features=("res3", "res4", "res5"), name="backbone"
+            )
+        elif self.backbone_name == "build_swin_backbone":
+            from .swin import SwinTransformer
+
+            self.backbone = SwinTransformer(name="backbone")
+        elif self.backbone_name == "build_vitaev2_backbone":
+            from .vitae import ViTAEv2
+
+            self.backbone = ViTAEv2(name="backbone")
+        else:
+            raise ValueError(self.backbone_name)
+        self.spotter = DeepSoloSpotter(
+            d_model=self.hidden_dim,
+            n_heads=self.n_heads,
+            num_encoder_layers=self.num_encoder_layers,
+            num_decoder_layers=self.num_decoder_layers,
+            dim_feedforward=self.dim_feedforward,
+            num_feature_levels=self.num_feature_levels,
+            enc_n_points=self.enc_n_points,
+            dec_n_points=self.dec_n_points,
+            num_queries=self.num_queries,
+            num_points=self.num_points,
+            voc_size=self.voc_size,
+            temperature=self.temperature,
+            in_channels=BACKBONE_CHANNELS[self.backbone_name],
+            boundary_head=self.boundary_head,
+            return_enc_outputs=True,
+            return_aux_outputs=True,
+            sampling_impl=self.sampling_impl,
+            name="detection_transformer",
+        )
+
+    def __call__(self, images: jnp.ndarray, image_hw: Optional[jnp.ndarray] = None):
+        b, H, W, _ = images.shape
+        feats = self.backbone(images)
+        feats = [feats["res3"], feats["res4"], feats["res5"]]
+        masks = GoMatchingModel._level_masks(self, (H, W), image_hw, b)
+        pos = [
+            position_encoding_2d(
+                (b, f.shape[1], f.shape[2]),
+                self.hidden_dim // 2,
+                self.temperature,
+                None if masks is None else masks[i],
+            )
+            for i, f in enumerate(feats)
+        ]
+        return self.spotter(feats, pos, masks)
+
+
+def build_pretrain_model(cfg) -> SpotterPretrainModel:
+    t = cfg.MODEL.TRANSFORMER
+    return SpotterPretrainModel(
+        backbone_name=cfg.MODEL.BACKBONE.NAME,
+        resnet_depth=cfg.MODEL.RESNETS.DEPTH,
+        hidden_dim=t.HIDDEN_DIM,
+        n_heads=t.NHEADS,
+        num_encoder_layers=t.ENC_LAYERS,
+        num_decoder_layers=t.DEC_LAYERS,
+        dim_feedforward=t.DIM_FEEDFORWARD,
+        num_feature_levels=t.NUM_FEATURE_LEVELS,
+        enc_n_points=t.ENC_N_POINTS,
+        dec_n_points=t.DEC_N_POINTS,
+        num_queries=t.NUM_QUERIES,
+        num_points=t.NUM_POINTS,
+        voc_size=t.VOC_SIZE,
+        temperature=float(t.TEMPERATURE),
+        boundary_head=t.BOUNDARY_HEAD,
+        sampling_impl=cfg.TPU.SAMPLING_IMPL,
+    )
+
+
 def build_model(cfg) -> GoMatchingModel:
     """Construct the meta-arch from a reference-schema config."""
     t = cfg.MODEL.TRANSFORMER

@@ -202,6 +202,10 @@ class DeepSoloSpotter(nn.Module):
     in_channels: Tuple[int, ...] = (512, 1024, 2048)
     boundary_head: bool = True
     return_enc_outputs: bool = False
+    # pretraining: also emit every decoder layer's head outputs (aux losses,
+    # detection_transformer.py:209-253) — the GoMatching (frozen-spotter) path
+    # keeps this off and only materializes the last layer
+    return_aux_outputs: bool = False
     sampling_impl: str = "xla"
 
     def setup(self):
@@ -398,6 +402,7 @@ class DeepSoloSpotter(nn.Module):
         )
         ref = reference_points
         ref_in_last = ref
+        aux_outputs = []
         for li, layer in enumerate(self.decoder_layers):
             # (B, nq, npts, L, 2)
             ref_input = ref[:, :, :, None, :] * valid_ratios[:, None, None, :, :]
@@ -406,6 +411,18 @@ class DeepSoloSpotter(nn.Module):
             tgt = layer(tgt, query_pos, ref_input, memory, shapes, token_valid)
             delta = self.ctrl_point_coord(tgt)
             ref_in_last = ref
+            if self.return_aux_outputs and li < self.num_decoder_layers - 1:
+                r = inverse_sigmoid(ref)
+                aux = {
+                    "pred_logits": self.ctrl_point_class(tgt),
+                    "pred_text_logits": self.ctrl_point_text(tgt),
+                    "pred_ctrl_points": jax.nn.sigmoid(delta + r),
+                }
+                if self.boundary_head:
+                    aux["pred_bd_points"] = jax.nn.sigmoid(
+                        self.boundary_offset(tgt) + jnp.tile(r, (1, 1, 1, 2))
+                    )
+                aux_outputs.append(aux)
             ref = jax.lax.stop_gradient(jax.nn.sigmoid(delta + inverse_sigmoid(ref)))
 
         # ---- heads on the last decoder state ----
@@ -424,4 +441,6 @@ class DeepSoloSpotter(nn.Module):
         if self.return_enc_outputs:
             out["enc_logits"] = enc_class
             out["enc_beziers"] = jax.nn.sigmoid(enc_coords)
+        if self.return_aux_outputs:
+            out["aux_outputs"] = aux_outputs
         return out

@@ -23,6 +23,14 @@ def get_parser():
     p.add_argument("--num-gpus", type=int, default=1, help="accepted for CLI parity; the TPU mesh is auto-detected")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--max-iter", type=int, default=-1, help="override for smoke runs")
+    p.add_argument(
+        "--task",
+        choices=("tracker", "spotter"),
+        default="tracker",
+        help="tracker = GoMatching training (spotter frozen, the reference's "
+        "train_net.py); spotter = DeepSolo image-spotter pretraining "
+        "(TransformerPureDetector path, full-model)",
+    )
     p.add_argument("--opts", default=[], nargs=argparse.REMAINDER)
     return p
 
@@ -64,12 +72,65 @@ def init_rescoring_from_classifier(params):
     return params
 
 
+def pretrain_main(args):
+    """DeepSolo image-spotter pretraining loop (--task spotter)."""
+    import cv2
+    import jax
+
+    from gomatching_tpu.config import setup_train_cfg
+    from gomatching_tpu.data.datasets import load_video_json, resolve_dataset
+    from gomatching_tpu.engine.predictor import init_params
+    from gomatching_tpu.engine.pretrain import SpotterPretrainer, build_spotter_targets
+    from gomatching_tpu.models.gomatching import build_pretrain_model
+
+    cfg = setup_train_cfg(args.config_file, args.opts)
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    t = cfg.MODEL.TRANSFORMER
+    model = build_pretrain_model(cfg)
+    params = init_params(model)
+    trainer = SpotterPretrainer(cfg, model, params)
+
+    records = []
+    for name in cfg.DATASETS.TRAIN:
+        image_root, json_file = resolve_dataset(name)
+        records.extend(load_video_json(json_file, image_root, t.NUM_POINTS))
+    print(f"pretraining on {len(records)} images")
+
+    max_iter = args.max_iter if args.max_iter > 0 else cfg.SOLVER.MAX_ITER
+    max_gt = cfg.TPU.MAX_GT
+    size = cfg.INPUT.TRAIN_SIZE
+    rng = np.random.RandomState(cfg.SEED if cfg.SEED > 0 else 0)
+    ckpt_dir = os.path.join(cfg.OUTPUT_DIR, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    for i in range(max_iter):
+        rec = records[int(rng.randint(len(records)))]
+        img = cv2.imread(rec["file_name"])
+        if img is None:
+            continue
+        if cfg.INPUT.FORMAT == "RGB":
+            img = img[:, :, ::-1]
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+        images = ((img.astype(np.float32) - np.asarray(cfg.MODEL.PIXEL_MEAN)) /
+                  np.asarray(cfg.MODEL.PIXEL_STD))[None]
+        targets = build_spotter_targets(rec, max_gt, t.NUM_POINTS, t.VOC_SIZE)
+        targets = {k: v[None] for k, v in targets.items()}
+        metrics = trainer.step(images, targets)
+        if (i + 1) % 20 == 0:
+            print(f"iter {i + 1}/{max_iter} total {metrics['total_loss']:.4f}")
+        if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (i + 1) == max_iter:
+            from gomatching_tpu.engine.checkpoint import save_params
+
+            save_params(os.path.join(ckpt_dir, f"spotter_{i + 1:07d}.npz"), trainer.state.params)
+
+
 def main():
     args = get_parser().parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.task == "spotter":
+        return pretrain_main(args)
     from gomatching_tpu.config import setup_train_cfg
     from gomatching_tpu.data.loader import build_train_loader
     from gomatching_tpu.engine.predictor import init_params
