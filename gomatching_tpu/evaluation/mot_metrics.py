@@ -86,6 +86,94 @@ def quad_iou_matrix(gt_quads: np.ndarray, hyp_quads: np.ndarray) -> np.ndarray:
     return out
 
 
+def poly_iou_matrix(gt_polys, hyp_polys) -> np.ndarray:
+    """General-polygon IoU matrix: lists of flat (2n,) arrays with possibly
+    different vertex counts per polygon (BOVText / ArTVideo protocols use
+    arbitrary polygons, not quads)."""
+    G, H = len(gt_polys), len(hyp_polys)
+    out = np.zeros((G, H))
+    for i in range(G):
+        gi = np.asarray(gt_polys[i], np.float64).reshape(-1, 2)
+        for j in range(H):
+            out[i, j] = polygon_iou(gi, np.asarray(hyp_polys[j], np.float64).reshape(-1, 2))
+    return out
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance (BOVText transcription-similarity cost,
+    Evaluation_Protocol_BOV_Text Task2 evaluation.py)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def text_similarity(a: str, b: str) -> float:
+    """1 - normalized edit distance in [0, 1]."""
+    if not a and not b:
+        return 1.0
+    return 1.0 - levenshtein(a, b) / max(len(a), len(b), 1)
+
+
+def evaluate_detection(
+    frames,
+    iou_threshold: float = 0.5,
+):
+    """Frame-level detection protocol (DSText det, script.py:54-368 semantics):
+    one-to-one IoU>=thr greedy matching per frame, GT '###' regions are
+    don't-care (they and any prediction covered by them are excluded).
+
+    ``frames``: iterable of (gt_polys, gt_texts, pred_polys) per frame, where
+    polys are lists of flat coordinate arrays.
+    Returns {precision, recall, hmean, matched, num_gt, num_det}.
+    """
+    matched = num_gt = num_det = 0
+    for gt_polys, gt_texts, pred_polys in frames:
+        care = [i for i, t in enumerate(gt_texts) if t != "###"]
+        dontcare = [i for i, t in enumerate(gt_texts) if t == "###"]
+        keep_pred = list(range(len(pred_polys)))
+        if dontcare and pred_polys:
+            # a prediction mostly inside a don't-care region is excluded
+            for j in list(keep_pred):
+                pj = np.asarray(pred_polys[j], np.float64).reshape(-1, 2)
+                aj = _poly_area(_ccw(pj))
+                for i in dontcare:
+                    gi = np.asarray(gt_polys[i], np.float64).reshape(-1, 2)
+                    iou = polygon_iou(gi, pj)
+                    # area-precision vs the ignore region
+                    inter = iou * (_poly_area(_ccw(gi)) + aj) / (1 + iou) if iou > 0 else 0.0
+                    if aj > 0 and inter / aj > 0.5:
+                        keep_pred.remove(j)
+                        break
+        num_gt += len(care)
+        num_det += len(keep_pred)
+        if care and keep_pred:
+            iou = poly_iou_matrix(
+                [gt_polys[i] for i in care], [pred_polys[j] for j in keep_pred]
+            )
+            cost = np.where(iou >= iou_threshold, 1.0 - iou, 1e6)
+            ri, ci = solve(cost)
+            matched += int(sum(iou[r, c] >= iou_threshold for r, c in zip(ri, ci)))
+    precision = matched / num_det if num_det else (1.0 if num_gt == 0 else 0.0)
+    recall = matched / num_gt if num_gt else 1.0
+    hmean = (
+        2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    )
+    return {
+        "precision": precision,
+        "recall": recall,
+        "hmean": hmean,
+        "matched": matched,
+        "num_gt": num_gt,
+        "num_det": num_det,
+    }
+
+
 # ---------------------------------------------------------------------------
 # CLEAR-MOT accumulator
 # ---------------------------------------------------------------------------
@@ -123,7 +211,9 @@ class MOTAccumulator:
         for h in hyp_ids:
             self.hyp_frames[h] = self.hyp_frames.get(h, 0) + 1
 
-        iou = quad_iou_matrix(gt_quads, hyp_quads) if G and H else np.zeros((G, H))
+        # polygons may have per-instance vertex counts (ArTVideo curved text);
+        # quads are just the 4-vertex special case
+        iou = poly_iou_matrix(gt_quads, hyp_quads) if G and H else np.zeros((G, H))
         if texts is not None and G and H:
             # E2E spotting: transcription must also match
             g_txt, h_txt = texts

@@ -66,3 +66,75 @@ def test_sticky_matching_prevents_switch():
     acc.update([1], g, [5, 6], np.stack([quad(3, 0, 10, 10), quad(0, 0, 10, 10)]))
     assert acc.num_switches == 0
     assert acc.last_match[1] == 5
+
+
+def test_poly_iou_matrix_mixed_vertex_counts():
+    from gomatching_tpu.evaluation.mot_metrics import poly_iou_matrix
+
+    quad = np.asarray([0, 0, 10, 0, 10, 10, 0, 10], np.float64)
+    hexa = np.asarray([0, 0, 5, 0, 10, 0, 10, 10, 5, 10, 0, 10], np.float64)
+    iou = poly_iou_matrix([quad], [hexa])
+    assert abs(iou[0, 0] - 1.0) < 1e-6
+
+
+def test_levenshtein_and_similarity():
+    from gomatching_tpu.evaluation.mot_metrics import levenshtein, text_similarity
+
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert text_similarity("abc", "abc") == 1.0
+    assert 0.0 < text_similarity("abc", "abd") < 1.0
+
+
+def test_evaluate_detection_hmean():
+    from gomatching_tpu.evaluation.mot_metrics import evaluate_detection
+
+    sq = lambda x, y, s=10: np.asarray([x, y, x + s, y, x + s, y + s, x, y + s], np.float64)
+    frames = [
+        # perfect match + one FP
+        ([sq(0, 0)], ["word"], [sq(0, 0), sq(100, 100)]),
+        # ignore region absorbs the pred inside it
+        ([sq(0, 0), sq(50, 50)], ["word", "###"], [sq(0, 0), sq(50, 50)]),
+        # miss
+        ([sq(0, 0)], ["word"], []),
+    ]
+    d = evaluate_detection(frames, 0.5)
+    assert d["num_gt"] == 3 and d["matched"] == 2
+    assert d["num_det"] == 3  # FP + 2 matches; the ignored pred is excluded
+    assert 0 < d["hmean"] < 1
+
+
+def test_eval_tracking_cli(tmp_path):
+    import subprocess
+    import sys
+
+    gt_dir = tmp_path / "gt"
+    res_dir = tmp_path / "res"
+    gt_dir.mkdir()
+    res_dir.mkdir()
+    xml = """<Frames>
+  <frame ID="1">
+    <object ID="1" Transcription="abc" Quality="HIGH">
+      <Point x="0" y="0"/><Point x="20" y="0"/><Point x="20" y="10"/><Point x="0" y="10"/>
+    </object>
+  </frame>
+  <frame ID="2">
+    <object ID="1" Transcription="abc" Quality="HIGH">
+      <Point x="2" y="0"/><Point x="22" y="0"/><Point x="22" y="10"/><Point x="2" y="10"/>
+    </object>
+  </frame>
+</Frames>"""
+    (gt_dir / "video_1.xml").write_text(xml)
+    (res_dir / "res_video_1.xml").write_text(xml)
+    out = subprocess.run(
+        [sys.executable, "tools/eval_tracking.py", "--gt", str(gt_dir), "--res", str(res_dir)],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "100.00%" in out.stdout  # perfect MOTA
+    det = subprocess.run(
+        [sys.executable, "tools/eval_tracking.py", "--gt", str(gt_dir), "--res", str(res_dir), "--det"],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert det.returncode == 0, det.stderr
+    assert "hmean 100.00%" in det.stdout

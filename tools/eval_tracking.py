@@ -24,45 +24,61 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from gomatching_tpu.evaluation.mot_metrics import MOTAccumulator, quad_iou_matrix
+from gomatching_tpu.evaluation.mot_metrics import (
+    MOTAccumulator,
+    evaluate_detection,
+    poly_iou_matrix,
+)
 
 
-def parse_xml(path):
-    """-> {frame_id: (ids, quads (n, 8), transcriptions)}"""
+def parse_xml(path, only_curve: bool = False):
+    """-> {frame_id: (ids, [flat polygon arrays], transcriptions)}.
+
+    Polygons keep their native vertex count (quads for ICDAR15/DSText,
+    arbitrary for ArTVideo curved text). With ``only_curve``, straight GT
+    instances (attribute Type/text_type == 'Straight', or plain quads when the
+    attribute is absent) become ignore regions, mirroring the ArTVideo --curve
+    protocol (eval_trk.py:170-175)."""
     root = ET.parse(path).getroot()
     frames = {}
     for fr in root:
-        ids, quads, txts = [], [], []
+        ids, polys, txts = [], [], []
         for obj in fr:
-            pts = [(int(p.attrib["x"]), int(p.attrib["y"])) for p in obj]
-            if len(pts) != 4:
+            pts = [(float(p.attrib["x"]), float(p.attrib["y"])) for p in obj]
+            if len(pts) < 3:
                 continue
             ids.append(int(obj.attrib["ID"]))
-            quads.append(np.asarray(pts, np.float64).reshape(8))
-            txts.append(obj.attrib.get("Transcription", ""))
-        frames[int(fr.attrib["ID"])] = (ids, np.asarray(quads).reshape(-1, 8), txts)
+            polys.append(np.asarray(pts, np.float64).reshape(-1))
+            txt = obj.attrib.get("Transcription", "")
+            if only_curve:
+                ttype = obj.attrib.get("Type", obj.attrib.get("text_type", ""))
+                straight = ttype == "Straight" if ttype else len(pts) == 4
+                if straight:
+                    txt = "###"  # treated as an ignore region downstream
+            txts.append(txt)
+        frames[int(fr.attrib["ID"])] = (ids, polys, txts)
     return frames
 
 
 def evaluate_video(gt_frames, res_frames, iou_threshold=0.5, e2e=False):
     acc = MOTAccumulator(iou_threshold=iou_threshold)
     for frame in sorted(gt_frames):
-        g_ids, g_quads, g_txts = gt_frames[frame]
-        h_ids, h_quads, h_txts = res_frames.get(frame, ([], np.zeros((0, 8)), []))
+        g_ids, g_polys, g_txts = gt_frames[frame]
+        h_ids, h_polys, h_txts = res_frames.get(frame, ([], [], []))
 
         # drop ignore regions + hypotheses overlapping them
         keep_g = [i for i, t in enumerate(g_txts) if t != "###" and t.lower() != "#1"]
         ign_g = [i for i in range(len(g_ids)) if i not in keep_g]
         if ign_g and len(h_ids):
-            iou_ign = quad_iou_matrix(g_quads[ign_g], h_quads)
+            iou_ign = poly_iou_matrix([g_polys[i] for i in ign_g], h_polys)
             keep_h = [j for j in range(len(h_ids)) if iou_ign[:, j].max(initial=0.0) < iou_threshold]
         else:
             keep_h = list(range(len(h_ids)))
 
         g_ids2 = [g_ids[i] for i in keep_g]
-        g_quads2 = g_quads[keep_g]
+        g_quads2 = [g_polys[i] for i in keep_g]
         h_ids2 = [h_ids[j] for j in keep_h]
-        h_quads2 = h_quads[keep_h]
+        h_quads2 = [h_polys[j] for j in keep_h]
 
         texts = None
         if e2e:
@@ -80,10 +96,21 @@ def main():
     ap.add_argument("--res", required=True, help="directory of res_*.xml predictions")
     ap.add_argument("--iou", type=float, default=0.5)
     ap.add_argument("--e2e", action="store_true", help="require transcription match")
+    ap.add_argument(
+        "--det",
+        action="store_true",
+        help="frame-level detection protocol (precision/recall/hmean), ignoring ids",
+    )
+    ap.add_argument(
+        "--curve",
+        action="store_true",
+        help="ArTVideo curved-text-only protocol: straight GT becomes don't-care",
+    )
     args = ap.parse_args()
 
     totals = MOTAccumulator(iou_threshold=args.iou)
     per_video = {}
+    det_frames = []
     for name in sorted(os.listdir(args.gt)):
         if not name.endswith(".xml"):
             continue
@@ -93,8 +120,14 @@ def main():
             os.path.join(args.res, name),
         ]
         res_path = next((p for p in res_candidates if os.path.exists(p)), None)
-        gt_frames = parse_xml(os.path.join(args.gt, name))
+        gt_frames = parse_xml(os.path.join(args.gt, name), only_curve=args.curve)
         res_frames = parse_xml(res_path) if res_path else {}
+        if args.det:
+            for frame in sorted(gt_frames):
+                g_ids, g_polys, g_txts = gt_frames[frame]
+                _, h_polys, _ = res_frames.get(frame, ([], [], []))
+                det_frames.append((g_polys, g_txts, h_polys))
+            continue
         acc = evaluate_video(gt_frames, res_frames, args.iou, args.e2e)
         per_video[video] = acc.metrics()
         # accumulate into totals (merge counters)
@@ -115,6 +148,15 @@ def main():
         # k == (video, gt_id, hyp_id)
         fixed[((k[0], k[1]), (k[0], k[2]))] = v
     totals.pair_overlap = fixed
+
+    if args.det:
+        d = evaluate_detection(det_frames, args.iou)
+        print(
+            f"precision {d['precision'] * 100:.2f}%  recall {d['recall'] * 100:.2f}%  "
+            f"hmean {d['hmean'] * 100:.2f}%  ({d['matched']}/{d['num_det']} det, "
+            f"{d['num_gt']} gt)"
+        )
+        return
 
     m = totals.metrics()
     print(f"{'video':<28} {'MOTA':>7} {'MOTP':>7} {'IDF1':>7} {'IDSW':>5} {'FP':>6} {'FN':>6}")
