@@ -23,6 +23,11 @@ def get_parser():
     p.add_argument("--input", nargs="+", help="Directory of video frame dirs")
     p.add_argument("--output", required=True)
     p.add_argument("--show", action="store_true", help="Save visualizations")
+    p.add_argument(
+        "--profile-dir",
+        default="",
+        help="Capture a jax.profiler device trace into this directory",
+    )
     p.add_argument("--opts", default=[], nargs=argparse.REMAINDER)
     return p
 
@@ -92,6 +97,10 @@ def main():
         )
     }
     total_frames_count = 0
+    from gomatching_tpu.utils.profiling import device_trace
+
+    trace_ctx = device_trace(args.profile_dir)
+    trace_ctx.__enter__()
     for video in video_files:
         video_name = os.path.basename(video).split(".")[0]
         if video_name == "Cls1_Livestreaming_video40" or video_name in preded:
@@ -125,11 +134,21 @@ def main():
             os.path.join(json_dir, f"{video_name}.json"),
             os.path.join(xml_dir, f"res_{xml_name}.xml"),
         )
+        if args.show:
+            from gomatching_tpu.evaluation.visualizer import save_tracked_video_frames
+
+            save_tracked_video_frames(
+                frames,
+                tracked,
+                os.path.join(args.output, "vis", video_name),
+                decode_text=predictor.decode_text,
+            )
         print(
             f"Video: {video_name} per_img_time: {elapsed / max(len(frames), 1):.4f} "
             f"FPS: {len(frames) / max(elapsed, 1e-9):.2f}"
         )
 
+    trace_ctx.__exit__(None, None, None)
     write_track_transcriptions(xml_dir)
     if time_cost["total_time"] > 0:
         print(

@@ -51,3 +51,50 @@ def load_params(path: str):
         return ckptr.restore(os.path.abspath(path))
     data = np.load(path, allow_pickle=False)
     return _unflatten({k: data[k] for k in data.files})
+
+
+# ---------------------------------------------------------------------------
+# full train-state checkpointing (params + optimizer + step), orbax-backed —
+# the resume_or_load semantics of the reference (train_net.py:62-73)
+# ---------------------------------------------------------------------------
+def save_train_state(ckpt_dir: str, step: int, state_tree) -> str:
+    """Save an arbitrary pytree (e.g. {'trainable', 'opt_state', 'step'}) as
+    ``<ckpt_dir>/state_<step>``; returns the path."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"state_{step:07d}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state_tree), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_train_state(ckpt_dir: str):
+    """-> (path, step) of the newest saved train state, or (None, 0)."""
+    if not os.path.isdir(ckpt_dir):
+        return None, 0
+    best = None
+    best_step = 0
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("state_") and os.path.isdir(os.path.join(ckpt_dir, name)):
+            try:
+                step = int(name.split("_")[1])
+            except ValueError:
+                continue
+            if step >= best_step:
+                best, best_step = os.path.join(ckpt_dir, name), step
+    return best, best_step
+
+
+def load_train_state(path: str, target=None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        import jax
+
+        return ckptr.restore(
+            os.path.abspath(path), target=jax.tree.map(np.asarray, target)
+        )
+    return ckptr.restore(os.path.abspath(path))

@@ -38,13 +38,34 @@ class TrainState(NamedTuple):
 
 
 def split_params(params, freeze_type: str = "ExceptROIheads"):
-    """Partition the param tree into (trainable, frozen) per the freeze policy."""
+    """Partition the param tree into (trainable, frozen) per the named freeze
+    policy (gomatching/modeling/freeze_layers.py:139-172). In JAX, freezing is
+    simply which subtrees enter the optimized pytree.
+
+    Policies: ExceptROIheads / ExceptROIheadsID train only roi_heads (the
+    GoMatching recipe; :20-37 and :3-18 — identical for this architecture);
+    ROIheads freezes roi_heads and trains the rest (:39-49); Backbone /
+    BackboneBottomup freeze the backbone trunk (:51-73); '' trains everything.
+    The cascade-classifier variants (:75-137) target a CenterNet2
+    ``roi_heads.box_predictor`` that does not exist in the GoMatching
+    architecture (they would raise in the reference too) and are rejected.
+    """
     p = params["params"]
-    if freeze_type in ("ExceptROIheads", ""):
-        trainable = {"roi_heads": p["roi_heads"]}
-        frozen = {k: v for k, v in p.items() if k != "roi_heads"}
+    if freeze_type in ("ExceptROIheads", "ExceptROIheadsID"):
+        train_keys = {"roi_heads"}
+    elif freeze_type == "ROIheads":
+        train_keys = set(p) - {"roi_heads"}
+    elif freeze_type in ("Backbone", "BackboneBottomup"):
+        train_keys = set(p) - {"backbone"}
+    elif freeze_type == "":
+        train_keys = set(p)
     else:
-        raise NotImplementedError(freeze_type)
+        raise NotImplementedError(
+            f"FREEZE_TYPE={freeze_type!r} targets CenterNet2 submodules absent "
+            "from the GoMatching architecture"
+        )
+    trainable = {k: v for k, v in p.items() if k in train_keys}
+    frozen = {k: v for k, v in p.items() if k not in train_keys}
     return trainable, frozen
 
 
@@ -87,6 +108,12 @@ class Trainer:
     1. jit spotter forward (frozen) -> detections/query features
     2. host: Hungarian rescore match + association GT (no-grad numpy)
     3. jit loss+grad on the trainable subtree + optax update
+
+    Note: the tracker losses only reach the roi_heads subtree (the spotter
+    forward is stop_gradient'ed, matching the reference's frozen-spotter
+    recipe). FREEZE_TYPE values that mark spotter/backbone params trainable
+    keep those params in the optimizer but only the spotter-pretraining path
+    (engine/pretrain.py) produces gradients for them.
     """
 
     def __init__(self, cfg, model: GoMatchingModel, params, mesh=None):

@@ -168,11 +168,36 @@ def main():
     os.makedirs(ckpt_dir, exist_ok=True)
     metrics_path = os.path.join(cfg.OUTPUT_DIR, "metrics.json")
 
+    start_iter = 0
+    if args.resume:
+        from gomatching_tpu.engine.checkpoint import latest_train_state, load_train_state
+        from gomatching_tpu.engine.train import TrainState
+
+        path, step = latest_train_state(ckpt_dir)
+        if path:
+            restored = load_train_state(
+                path,
+                target={
+                    "trainable": trainer.state.trainable,
+                    "opt_state": trainer.state.opt_state,
+                },
+            )
+            import jax.numpy as jnp
+
+            trainer.state = TrainState(
+                trainable=restored["trainable"],
+                frozen=trainer.state.frozen,
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(step, jnp.int32),
+            )
+            start_iter = step
+            print(f"resumed from {path} at iteration {step}")
+
     it = iter(loader)
     data_t, step_t = 0.0, 0.0
     log_every = 20
     with open(metrics_path, "a") as mf:
-        for i in range(max_iter):
+        for i in range(start_iter, max_iter):
             t0 = time.time()
             sample = next(it)
             images, _ = normalize_clip(sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD)
@@ -201,12 +226,20 @@ def main():
                 )
                 data_t, step_t = 0.0, 0.0
             if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (i + 1) == max_iter:
-                from gomatching_tpu.engine.checkpoint import save_params
+                from gomatching_tpu.engine.checkpoint import save_params, save_train_state
                 from gomatching_tpu.engine.train import merge_params
 
                 save_params(
                     os.path.join(ckpt_dir, f"model_{i + 1:07d}_rescore.npz"),
                     merge_params(trainer.state.trainable, trainer.state.frozen),
+                )
+                save_train_state(
+                    ckpt_dir,
+                    i + 1,
+                    {
+                        "trainable": trainer.state.trainable,
+                        "opt_state": trainer.state.opt_state,
+                    },
                 )
                 print(f"saved checkpoint at iter {i + 1}")
 
