@@ -102,6 +102,8 @@ def pretrain_main(args):
     rng = np.random.RandomState(cfg.SEED if cfg.SEED > 0 else 0)
     ckpt_dir = os.path.join(cfg.OUTPUT_DIR, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
+    from gomatching_tpu.data.image_augment import augment_pretrain_record
+
     for i in range(max_iter):
         rec = records[int(rng.randint(len(records)))]
         img = cv2.imread(rec["file_name"])
@@ -109,10 +111,23 @@ def pretrain_main(args):
             continue
         if cfg.INPUT.FORMAT == "RGB":
             img = img[:, :, ::-1]
+        # adet image-mapper chain: rotate -> instance-aware crop -> resize
+        # (dataset_mapper.py:93-110)
+        img, annos = augment_pretrain_record(
+            img,
+            rec,
+            rng,
+            rotate=cfg.INPUT.ROTATE,
+            crop_enabled=cfg.INPUT.CROP.ENABLED,
+            crop_frac=tuple(cfg.INPUT.CROP.SIZE),
+            crop_instance=cfg.INPUT.CROP.CROP_INSTANCE,
+            angle=45.0 if t.BOUNDARY_HEAD else 90.0,
+        )
+        aug_rec = {"height": img.shape[0], "width": img.shape[1], "annotations": annos}
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
         images = ((img.astype(np.float32) - np.asarray(cfg.MODEL.PIXEL_MEAN)) /
                   np.asarray(cfg.MODEL.PIXEL_STD))[None]
-        targets = build_spotter_targets(rec, max_gt, t.NUM_POINTS, t.VOC_SIZE)
+        targets = build_spotter_targets(aug_rec, max_gt, t.NUM_POINTS, t.VOC_SIZE)
         targets = {k: v[None] for k, v in targets.items()}
         metrics = trainer.step(images, targets)
         if (i + 1) % 20 == 0:
