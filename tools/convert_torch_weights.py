@@ -297,7 +297,15 @@ def main():
     from gomatching_tpu.engine.checkpoint import save_params
 
     cfg = setup_eval_cfg(args.config, ["MODEL.WEIGHTS", "''"])
-    ckpt = torch.load(args.input, map_location="cpu", weights_only=False)
+    if args.input.endswith(".pkl"):
+        # detectron2 model-zoo format (AdetCheckpointer, adet_checkpoint.py:6-36):
+        # a pickle of {'model': {name: ndarray}, '__author__'/'matching_heuristics'...}
+        import pickle
+
+        with open(args.input, "rb") as f:
+            ckpt = pickle.load(f, encoding="latin1")
+    else:
+        ckpt = torch.load(args.input, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
     params, missing, unused = convert(sd, cfg)
