@@ -85,6 +85,10 @@ def warmup_cosine_schedule(base_lr: float, max_iter: int, warmup_iters: int = 10
 
 
 def build_optimizer(cfg):
+    """Parity: build_custom_optimizer (costom_solver.py:20-54) — per-parameter
+    LR groups: params under 'backbone' x BACKBONE_MULTIPLIER, params whose path
+    contains a CUSTOM_MULTIPLIER_NAME keyword x CUSTOM_MULTIPLIER, SGD or AdamW,
+    optional full-model grad-norm clip (:55-77)."""
     s = cfg.SOLVER
     sched = (
         warmup_cosine_schedule(s.BASE_LR, s.MAX_ITER, s.WARMUP_ITERS, s.WARMUP_FACTOR)
@@ -93,13 +97,44 @@ def build_optimizer(cfg):
             s.BASE_LR, {int(st): s.GAMMA for st in s.STEPS}
         )
     )
+
+    def make(mult: float):
+        lr = (lambda step: sched(step) * mult) if mult != 1.0 else sched
+        if s.OPTIMIZER.upper() == "ADAMW":
+            return optax.adamw(lr, weight_decay=s.WEIGHT_DECAY)
+        return optax.sgd(lr, momentum=s.MOMENTUM)
+
+    custom_names = list(s.CUSTOM_MULTIPLIER_NAME)
+    needs_groups = s.BACKBONE_MULTIPLIER != 1.0 or (
+        custom_names and s.CUSTOM_MULTIPLIER != 1.0
+    )
+    if needs_groups:
+        def label_fn(params):
+            def label(path, _):
+                keys = "/".join(str(getattr(p, "key", p)) for p in path)
+                if "backbone" in keys.split("/")[:2]:
+                    return "backbone"
+                if any(name in keys for name in custom_names):
+                    return "custom"
+                return "rest"
+
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        opt = optax.multi_transform(
+            {
+                "backbone": make(s.BACKBONE_MULTIPLIER),
+                "custom": make(s.CUSTOM_MULTIPLIER),
+                "rest": make(1.0),
+            },
+            label_fn,
+        )
+    else:
+        opt = make(1.0)
+
     chain = []
     if s.CLIP_GRADIENTS.ENABLED and s.CLIP_GRADIENTS.CLIP_TYPE == "full_model":
         chain.append(optax.clip_by_global_norm(s.CLIP_GRADIENTS.CLIP_VALUE))
-    if s.OPTIMIZER.upper() == "ADAMW":
-        chain.append(optax.adamw(sched, weight_decay=s.WEIGHT_DECAY))
-    else:
-        chain.append(optax.sgd(sched, momentum=s.MOMENTUM))
+    chain.append(opt)
     return optax.chain(*chain), sched
 
 
