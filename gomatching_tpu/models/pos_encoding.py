@@ -14,6 +14,26 @@ import jax.numpy as jnp
 from .layers import sine_embed
 
 
+def position_encoding_1d(
+    length: int,
+    channels: int,
+    temperature: float = 10000.0,
+    normalize: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """1D sine-cosine encoding (adet/layers/pos_encoding.py:5-43): positions
+    1..length, sin block then cos block over ``channels``."""
+    if scale is None:
+        scale = 2 * math.pi
+    dim_t = jnp.arange(0, channels, 2, dtype=jnp.float32)
+    inv_freq = 1.0 / (temperature ** (dim_t / channels))
+    pos = jnp.arange(1, length + 1, dtype=jnp.float32)
+    if normalize:
+        pos = pos / (pos[-1] + 1e-6) * scale
+    ang = pos[:, None] * inv_freq[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)[:, :channels]
+
+
 def position_encoding_2d(
     shape: Tuple[int, int, int],
     num_pos_feats: int,

@@ -208,6 +208,16 @@ def main():
             start_iter = step
             print(f"resumed from {path} at iteration {step}")
 
+    # tensorboard scalars next to the JSON metrics (reference: TensorboardXWriter
+    # on rank 0, train_net.py:79-87); optional — skipped if unavailable
+    tb = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(os.path.join(cfg.OUTPUT_DIR, "tb"))
+    except Exception:
+        pass
+
     it = iter(loader)
     data_t, step_t = 0.0, 0.0
     log_every = 20
@@ -233,6 +243,10 @@ def main():
                 }
                 mf.write(json.dumps(line) + "\n")
                 mf.flush()
+                if tb is not None:
+                    for k, v in line.items():
+                        if isinstance(v, (int, float)):
+                            tb.add_scalar(k, v, i + 1)
                 print(
                     f"iter {i + 1}/{max_iter} loss {metrics['total_loss']:.4f} "
                     f"res {metrics.get('loss_res', 0):.4f} long {metrics['loss_long_asso']:.4f} "
