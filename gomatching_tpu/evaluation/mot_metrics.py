@@ -182,6 +182,8 @@ def evaluate_detection(
 @dataclass
 class MOTAccumulator:
     iou_threshold: float = 0.5
+    # 1.0 = exact transcription match in e2e mode; <1.0 = similarity threshold
+    text_sim_threshold: float = 1.0
     num_gt: int = 0
     num_hyp: int = 0
     num_matches: int = 0
@@ -215,11 +217,24 @@ class MOTAccumulator:
         # quads are just the 4-vertex special case
         iou = poly_iou_matrix(gt_quads, hyp_quads) if G and H else np.zeros((G, H))
         if texts is not None and G and H:
-            # E2E spotting: transcription must also match
+            # E2E spotting: transcription must also match. Exact match for the
+            # ICDAR protocols; the BOVText protocol accepts normalized-edit-
+            # distance similarity >= text_sim_threshold instead.
             g_txt, h_txt = texts
-            mism = np.asarray(
-                [[g_txt[i] != h_txt[j] for j in range(H)] for i in range(G)]
-            )
+            if self.text_sim_threshold < 1.0:
+                mism = np.asarray(
+                    [
+                        [
+                            text_similarity(g_txt[i], h_txt[j]) < self.text_sim_threshold
+                            for j in range(H)
+                        ]
+                        for i in range(G)
+                    ]
+                )
+            else:
+                mism = np.asarray(
+                    [[g_txt[i] != h_txt[j] for j in range(H)] for i in range(G)]
+                )
             iou = np.where(mism, 0.0, iou)
         valid = iou >= self.iou_threshold
 

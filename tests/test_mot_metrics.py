@@ -138,3 +138,37 @@ def test_eval_tracking_cli(tmp_path):
     )
     assert det.returncode == 0, det.stderr
     assert "hmean 100.00%" in det.stdout
+
+
+def test_eval_tracking_artvideo_json_curve(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    gt_dir = tmp_path / "gt"
+    res_dir = tmp_path / "res"
+    gt_dir.mkdir()
+    res_dir.mkdir()
+    gt = {
+        "frame": [{"height": 50, "width": 80}],
+        "annotations": [
+            {"frame_id": 1, "obj_id": 1, "text_type": "Curve",
+             "point": [0, 0, 20, 0, 20, 10, 0, 10], "transcription": "abc"},
+            {"frame_id": 1, "obj_id": 2, "text_type": "Straight",
+             "point": [40, 0, 60, 0, 60, 10, 40, 10], "transcription": "def"},
+        ],
+    }
+    (gt_dir / "video_9.json").write_text(json.dumps(gt))
+    xml = """<Frames><frame ID="1">
+      <object ID="5" Transcription="abc">
+        <Point x="0" y="0"/><Point x="20" y="0"/><Point x="20" y="10"/><Point x="0" y="10"/>
+      </object></frame></Frames>"""
+    (res_dir / "res_video_9.xml").write_text(xml)
+    out = subprocess.run(
+        [sys.executable, "tools/eval_tracking.py", "--gt", str(gt_dir),
+         "--res", str(res_dir), "--curve"],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert out.returncode == 0, out.stderr
+    # only the curved instance counts; it is matched -> perfect MOTA
+    assert "100.00%" in out.stdout

@@ -60,8 +60,39 @@ def parse_xml(path, only_curve: bool = False):
     return frames
 
 
-def evaluate_video(gt_frames, res_frames, iou_threshold=0.5, e2e=False):
-    acc = MOTAccumulator(iou_threshold=iou_threshold)
+def parse_artvideo_json(path, only_curve: bool = False):
+    """ArTVideo GT json ({'frame': [...], 'annotations': [{frame_id, obj_id,
+    point, text_type, transcription?}]}) -> same frames dict as parse_xml.
+
+    Matching uses polygon IoU on 'point' (the reference decodes RLE masks,
+    eval_trk.py:92-118; for text polygons the two coincide up to rasterization).
+    With ``only_curve``, Straight instances become ignore regions
+    (eval_trk.py:170-175)."""
+    import json as _json
+
+    with open(path, encoding="utf-8") as f:
+        data = _json.load(f)
+    frames = {}
+    for ann in data.get("annotations", []):
+        fid = int(ann["frame_id"])
+        ids, polys, txts = frames.setdefault(fid, ([], [], []))
+        pts = np.asarray(ann["point"], np.float64).reshape(-1)
+        if pts.size < 6:
+            continue
+        ids.append(int(ann["obj_id"]))
+        polys.append(pts)
+        txt = ann.get("transcription", "")
+        if only_curve and ann.get("text_type", "") == "Straight":
+            txt = "###"
+        txts.append(txt)
+    # frames with no annotations still count (misses are per-GT, so empty ok)
+    for i in range(1, len(data.get("frame", [])) + 1):
+        frames.setdefault(i, ([], [], []))
+    return frames
+
+
+def evaluate_video(gt_frames, res_frames, iou_threshold=0.5, e2e=False, text_sim=1.0):
+    acc = MOTAccumulator(iou_threshold=iou_threshold, text_sim_threshold=text_sim)
     for frame in sorted(gt_frames):
         g_ids, g_polys, g_txts = gt_frames[frame]
         h_ids, h_polys, h_txts = res_frames.get(frame, ([], [], []))
@@ -97,6 +128,12 @@ def main():
     ap.add_argument("--iou", type=float, default=0.5)
     ap.add_argument("--e2e", action="store_true", help="require transcription match")
     ap.add_argument(
+        "--text-sim",
+        type=float,
+        default=1.0,
+        help="e2e transcription similarity threshold (1.0 = exact; BOVText uses ~0.8)",
+    )
+    ap.add_argument(
         "--det",
         action="store_true",
         help="frame-level detection protocol (precision/recall/hmean), ignoring ids",
@@ -112,15 +149,21 @@ def main():
     per_video = {}
     det_frames = []
     for name in sorted(os.listdir(args.gt)):
-        if not name.endswith(".xml"):
+        if not name.endswith((".xml", ".json")):
             continue
-        video = name.replace(".xml", "").replace("gt_", "").replace("GT_", "")
+        video = (
+            name.replace(".xml", "").replace(".json", "")
+            .replace("gt_", "").replace("GT_", "")
+        )
         res_candidates = [
             os.path.join(args.res, f"res_{video}.xml"),
             os.path.join(args.res, name),
         ]
         res_path = next((p for p in res_candidates if os.path.exists(p)), None)
-        gt_frames = parse_xml(os.path.join(args.gt, name), only_curve=args.curve)
+        if name.endswith(".json"):  # ArTVideo-style GT
+            gt_frames = parse_artvideo_json(os.path.join(args.gt, name), args.curve)
+        else:
+            gt_frames = parse_xml(os.path.join(args.gt, name), only_curve=args.curve)
         res_frames = parse_xml(res_path) if res_path else {}
         if args.det:
             for frame in sorted(gt_frames):
@@ -128,7 +171,7 @@ def main():
                 _, h_polys, _ = res_frames.get(frame, ([], [], []))
                 det_frames.append((g_polys, g_txts, h_polys))
             continue
-        acc = evaluate_video(gt_frames, res_frames, args.iou, args.e2e)
+        acc = evaluate_video(gt_frames, res_frames, args.iou, args.e2e, args.text_sim)
         per_video[video] = acc.metrics()
         # accumulate into totals (merge counters)
         for f in (
