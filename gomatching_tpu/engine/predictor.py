@@ -73,8 +73,12 @@ def init_params(model: GoMatchingModel, seed: int = 0, image_size=None):
 class VideoPredictor:
     """End-to-end per-video spotting + tracking."""
 
-    def __init__(self, cfg, params=None):
+    def __init__(self, cfg, params=None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis — spot batches
+        shard their frame axis across it (TPU.SPOT_BATCH should be a multiple of
+        the axis size)."""
         self.cfg = cfg
+        self.mesh = mesh
         self.model = build_model(cfg)
         if params is None:
             params = self._load_or_init(cfg)
@@ -83,8 +87,13 @@ class VideoPredictor:
         # init traces on the host CPU for compile speed, which leaves the params
         # COMMITTED to the CPU device — jit would then re-transfer every call
         # (catastrophic through a tunneled TPU: ~2.3 s/step for ResNet-50 alone).
-        # Pin them to the default accelerator once.
-        self.params = jax.device_put(params, jax.devices()[0])
+        # Pin them to the accelerator once (replicated across the mesh if any).
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            self.params = shard_params(params, mesh)
+        else:
+            self.params = jax.device_put(params, jax.devices()[0])
         self.spot_batch = cfg.TPU.SPOT_BATCH
         # detection threshold: a traced scalar so callers (e.g. bench calibration)
         # can adjust it without recompiling the spot program
@@ -138,7 +147,9 @@ class VideoPredictor:
 
     def _raw_spot_fn(self, orig_hw: tuple, target_hw: tuple):
         """Jitted uint8-raw-frames -> detections fn (resize+normalize on device);
-        cached per input resolution (static shapes under jit)."""
+        cached per input resolution (static shapes under jit). Under a mesh the
+        frame-batch axis is sharded over 'data' (the inference analogue of the
+        reference's single-GPU-per-video loop, SURVEY.md §2.7)."""
         key = (orig_hw, target_hw)
         fn = self._raw_spot_fns.get(key)
         if fn is None:
@@ -154,7 +165,16 @@ class VideoPredictor:
                     p, imgs, None, thresh, method=GoMatchingModel.spot_and_detect
                 )
 
-            fn = jax.jit(raw_fn)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch_s = NamedSharding(self.mesh, P("data"))
+                repl = NamedSharding(self.mesh, P())
+                fn = jax.jit(
+                    raw_fn, in_shardings=(None, batch_s, repl), out_shardings=batch_s
+                )
+            else:
+                fn = jax.jit(raw_fn)
             self._raw_spot_fns[key] = fn
         return fn
 
