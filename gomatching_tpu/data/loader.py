@@ -5,9 +5,10 @@ vts_dataset_dataloader.py:27-159, custom_dataset_dataloader.py:77-151). Videos a
 the sampling unit; each step yields one clip per data-parallel replica
 (IMS_PER_BATCH / world_size == 1 in all shipped configs).
 
-Supported samplers: TrainingSampler (uniform infinite shuffle) and
+Supported samplers: TrainingSampler (uniform infinite shuffle),
 MultiDatasetSampler (ratio-weighted multinomial across dataset sources with a
-shared seed, rank-sharded).
+shared seed, rank-sharded), and RepeatFactorTrainingSampler (category-frequency
+repeat factors, d2 semantics).
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ class VideoClipLoader:
         num_points: int = 25,
         sampler: str = "TrainingSampler",
         dataset_ratio: Optional[List[float]] = None,
+        repeat_threshold: float = 0.0,
         seed: int = 0,
         rank: int = 0,
         world_size: int = 1,
@@ -54,6 +56,30 @@ class VideoClipLoader:
             ratio = np.asarray(dataset_ratio[: len(counts)], np.float64)
             w = ratio[src] / np.maximum(counts[src], 1)
             self.weights = w / w.sum()
+        elif sampler == "RepeatFactorTrainingSampler":
+            # d2 semantics: per-sample repeat factor max(1, sqrt(t / f_c)) over
+            # the categories it contains (category frequency f_c measured over
+            # samples). Text datasets are single-category, so this matters only
+            # when mixing sources with an 'oversample rare source' intent.
+            t = repeat_threshold
+            cat_count: Dict[int, int] = {}
+            vid_cats: List[set] = []
+            for frames in self.videos:
+                cats = {
+                    a.get("category_id", 0) for f in frames for a in f.get("annotations", [])
+                } or {0}
+                vid_cats.append(cats)
+                for c in cats:
+                    cat_count[c] = cat_count.get(c, 0) + 1
+            n_tot = len(self.videos)
+            freq = {c: cnt / n_tot for c, cnt in cat_count.items()}
+            rf = np.asarray(
+                [
+                    max(max(1.0, np.sqrt(t / max(freq[c], 1e-9))) for c in cats)
+                    for cats in vid_cats
+                ]
+            )
+            self.weights = rf / rf.sum()
         else:
             self.weights = None
 
@@ -91,6 +117,7 @@ def build_train_loader(cfg, rank: int = 0, world_size: int = 1) -> VideoClipLoad
         if not cfg.DATALOADER.SOURCE_AWARE
         else "MultiDatasetSampler",
         dataset_ratio=cfg.DATALOADER.DATASET_RATIO,
+        repeat_threshold=cfg.DATALOADER.REPEAT_THRESHOLD,
         seed=max(cfg.SEED, 0),
         rank=rank,
         world_size=world_size,
