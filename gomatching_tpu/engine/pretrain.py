@@ -5,8 +5,10 @@ Parity: the training side of ``TransformerPureDetector``
 backbone LR multiplier (costom_solver.py:35-44), SetCriterion losses over
 final + aux decoder layers + encoder proposals, full-model grad-norm clip.
 
-SPMD: under a Mesh the step pmeans grads and the instance-count normalizer over
-the 'data' axis (replacing DDP + the all_reduce at losses.py:260-262).
+Multi-chip: shard the batch with a data-axis NamedSharding before calling
+``step`` (GSPMD inserts the gradient/num_inst reductions, replacing DDP + the
+all_reduce at losses.py:260-262); see ``__graft_entry__.dryrun_multichip`` for
+the pattern.
 """
 
 from __future__ import annotations
@@ -59,41 +61,22 @@ class PretrainState(NamedTuple):
 
 
 class SpotterPretrainer:
-    """Full-model pretraining driver (no freezing)."""
+    """Full-model pretraining driver (no freezing).
 
-    def __init__(self, cfg, model: Optional[SpotterPretrainModel] = None, params=None, mesh=None):
+    Single-device by construction; multi-chip pretraining shards clips through
+    the same GSPMD pattern as ``__graft_entry__.dryrun_multichip`` (device_put
+    the batch with a data sharding before ``step``)."""
+
+    def __init__(self, cfg, model: Optional[SpotterPretrainModel] = None, params=None):
         self.cfg = cfg
         self.model = model if model is not None else build_pretrain_model(cfg)
         self.criterion = SpotterCriterion(cfg)
-        self.mesh = mesh
 
-        solver = cfg.SOLVER
-        schedule = warmup_cosine_schedule(
-            solver.BASE_LR, solver.MAX_ITER, getattr(solver, "WARMUP_ITERS", 1000)
-        )
-        mult = solver.BACKBONE_MULTIPLIER
-
-        def label_fn(params):
-            return jax.tree_util.tree_map_with_path(
-                lambda path, _: "backbone" if "backbone" in str(path[:2]) else "rest",
-                params,
-            )
-
-        tx = optax.chain(
-            optax.clip_by_global_norm(solver.CLIP_GRADIENTS.CLIP_VALUE)
-            if solver.CLIP_GRADIENTS.ENABLED
-            else optax.identity(),
-            optax.multi_transform(
-                {
-                    "backbone": optax.adamw(
-                        lambda s: schedule(s) * mult, weight_decay=solver.WEIGHT_DECAY
-                    ),
-                    "rest": optax.adamw(schedule, weight_decay=solver.WEIGHT_DECAY),
-                },
-                label_fn,
-            ),
-        )
-        self.tx = tx
+        # same optimizer construction as the tracker trainer: backbone/custom
+        # LR groups, SGD/AdamW, schedule selection, full-model clip semantics
+        # (build_optimizer, costom_solver.py parity)
+        self.tx, self.schedule = build_optimizer(cfg)
+        tx = self.tx
         if params is None:
             from .predictor import init_params
 

@@ -36,6 +36,21 @@ UNK_INDEX = 36  # the reference hardcodes 36 for the '###' ignore rule
 # (losses.py:185, matcher.py:67) regardless of VOC_SIZE
 
 
+def _ctc_feasible(labels: jnp.ndarray, lengths: jnp.ndarray, T: int) -> jnp.ndarray:
+    """CTC alignment feasibility: T >= L + #adjacent-repeats (a repeat needs a
+    blank between its frames). Infeasible pairs get +inf loss from CTC; the
+    reference zeroes them via torch's zero_infinity=True (losses.py:177,
+    matcher.py:55-62) — optax has no such flag, so mask explicitly.
+
+    labels: (..., N) with padding already replaced by a valid index;
+    lengths: (...,) true label lengths."""
+    N = labels.shape[-1]
+    pos = jnp.arange(1, N)
+    rep = (labels[..., 1:] == labels[..., :-1]) & (pos < lengths[..., None])
+    need = lengths + jnp.sum(rep, axis=-1)
+    return need <= T
+
+
 # ---------------------------------------------------------------------------
 # assignment
 # ---------------------------------------------------------------------------
@@ -104,7 +119,10 @@ def ctc_cost_matrix(
 
     ignore = (lengths == 1) & (texts[:, 0] == UNK_INDEX)  # '###' instances
     empty = lengths == 0
-    loss = jnp.where((ignore | empty)[None, :], 0.0, loss)
+    feasible = _ctc_feasible(
+        jnp.where(texts == voc_size, 0, texts), lengths, T
+    )  # zero_infinity semantics
+    loss = jnp.where((ignore | empty | ~feasible)[None, :], 0.0, loss)
     return loss / jnp.maximum(lengths, 1)[None, :]
 
 
@@ -240,7 +258,8 @@ def loss_texts(text_logits, texts, gt_of_query, voc_size):
     )
     matched = (gt_of_query >= 0).reshape(B * nq)
     ignore = (lengths == 1) & (flat_texts[:, 0] == UNK_INDEX)
-    keep = matched & ~ignore & (lengths > 0)
+    feasible = _ctc_feasible(labels, lengths, T)  # zero_infinity semantics
+    keep = matched & ~ignore & (lengths > 0) & feasible
     # reference: loss_texts = mean over all matched pairs, with ignored pairs
     # contributing zero to the numerator but still counted (losses.py:190-191)
     n = jnp.maximum(jnp.sum(matched), 1)

@@ -59,13 +59,55 @@ def _ccw(p: np.ndarray) -> np.ndarray:
     return p
 
 
+def _is_convex(p: np.ndarray) -> bool:
+    d = np.roll(p, -1, 0) - p
+    cross = d[:, 0] * np.roll(d, -1, 0)[:, 1] - d[:, 1] * np.roll(d, -1, 0)[:, 0]
+    return bool(np.all(cross >= -1e-9) or np.all(cross <= 1e-9))
+
+
+def _raster_iou(p1: np.ndarray, p2: np.ndarray) -> float:
+    """Pixel-mask IoU on a local grid — the reference's ArTVideo/BOVText
+    protocols compare rasterized masks (eval_trk.py:92-98); exact for concave
+    polygons up to rasterization resolution."""
+    import cv2
+
+    x0 = min(p1[:, 0].min(), p2[:, 0].min())
+    y0 = min(p1[:, 1].min(), p2[:, 1].min())
+    x1 = max(p1[:, 0].max(), p2[:, 0].max())
+    y1 = max(p1[:, 1].max(), p2[:, 1].max())
+    w, h = x1 - x0, y1 - y0
+    if w <= 0 or h <= 0:
+        return 0.0
+    scale = 512.0 / max(w, h)
+    W = max(int(w * scale) + 2, 2)
+    H = max(int(h * scale) + 2, 2)
+    m1 = np.zeros((H, W), np.uint8)
+    m2 = np.zeros((H, W), np.uint8)
+    q1 = np.round((p1 - (x0, y0)) * scale).astype(np.int32)
+    q2 = np.round((p2 - (x0, y0)) * scale).astype(np.int32)
+    cv2.fillPoly(m1, [q1.reshape(-1, 1, 2)], 1)
+    cv2.fillPoly(m2, [q2.reshape(-1, 1, 2)], 1)
+    inter = int(np.sum(m1 & m2))
+    union = int(np.sum(m1 | m2))
+    return inter / union if union else 0.0
+
+
 def polygon_iou(p1: np.ndarray, p2: np.ndarray) -> float:
-    """IoU of two convex polygons ((n, 2) arrays)."""
+    """IoU of two simple polygons ((n, 2) arrays).
+
+    Convex pairs go through exact Sutherland-Hodgman clipping; any concave
+    operand (ArTVideo curved text, BOVText free-form polygons) falls back to
+    rasterized mask IoU — Sutherland-Hodgman requires a convex clip polygon and
+    silently returns wrong areas otherwise."""
+    p1 = np.asarray(p1, np.float64)
+    p2 = np.asarray(p2, np.float64)
     a1, a2 = _poly_area(p1), _poly_area(p2)
     if a1 <= 0 or a2 <= 0:
         return 0.0
-    clip = _ccw(np.asarray(p2, np.float64))
-    inter = _ccw(np.asarray(p1, np.float64))
+    if not (_is_convex(p1) and _is_convex(p2)):
+        return _raster_iou(p1, p2)
+    clip = _ccw(p2)
+    inter = _ccw(p1)
     for i in range(len(clip)):
         inter = _clip_poly(inter, clip[i], clip[(i + 1) % len(clip)])
         if len(inter) == 0:
@@ -156,9 +198,16 @@ def evaluate_detection(
             iou = poly_iou_matrix(
                 [gt_polys[i] for i in care], [pred_polys[j] for j in keep_pred]
             )
-            cost = np.where(iou >= iou_threshold, 1.0 - iou, 1e6)
-            ri, ci = solve(cost)
-            matched += int(sum(iou[r, c] >= iou_threshold for r, c in zip(ri, ci)))
+            # first-come greedy in (gt, det) index order with STRICT IoU >
+            # threshold — the official protocol's matching (script.py:246-255),
+            # not Hungarian (which would inflate matches on ambiguous overlaps)
+            used = np.zeros(len(keep_pred), bool)
+            for gi in range(len(care)):
+                for dj in range(len(keep_pred)):
+                    if not used[dj] and iou[gi, dj] > iou_threshold:
+                        used[dj] = True
+                        matched += 1
+                        break
     precision = matched / num_det if num_det else (1.0 if num_gt == 0 else 0.0)
     recall = matched / num_gt if num_gt else 1.0
     hmean = (
@@ -247,12 +296,14 @@ class MOTAccumulator:
 
         matched_g, matched_h = set(), set()
         matches = {}
-        # 1. keep previous correspondences that remain valid
+        # 1. keep previous correspondences that remain valid (each hypothesis
+        # may be claimed by at most ONE gt — two gts sharing a last_match would
+        # otherwise double-count one hyp and drive FP negative)
         for i, g in enumerate(gt_ids):
             h_prev = self.last_match.get(g)
             if h_prev is not None and h_prev in hyp_ids:
                 j = hyp_ids.index(h_prev)
-                if valid[i, j]:
+                if j not in matched_h and valid[i, j]:
                     matches[g] = (h_prev, iou[i, j])
                     matched_g.add(i)
                     matched_h.add(j)

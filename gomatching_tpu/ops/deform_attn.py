@@ -23,66 +23,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _corner_indices_and_weights(
-    sampling_locations: jnp.ndarray,
-    spatial_shapes: Sequence[Tuple[int, int]],
-):
-    """Compute flat gather indices and bilinear weights for the 4 corner taps.
-
-    Args:
-      sampling_locations: (B, Lq, M, L, P, 2) normalized (x, y) in [0, 1].
-      spatial_shapes: static list of (H, W) per level.
-
-    Returns:
-      idx:     4 x (B, M, Lq, L*P) int32 into the level-concatenated token axis.
-      weights: 4 x (B, M, Lq, L*P) float32 bilinear corner weights (zero when the
-               corner falls outside its level's map).
-    """
-    B, Lq, M, L, P, _ = sampling_locations.shape
-    assert L == len(spatial_shapes)
-    # (B, M, Lq, L, P, 2)
-    loc = jnp.transpose(sampling_locations, (0, 2, 1, 3, 4, 5)).astype(jnp.float32)
-
-    hs = jnp.asarray([h for h, _ in spatial_shapes], dtype=jnp.float32)
-    ws = jnp.asarray([w for _, w in spatial_shapes], dtype=jnp.float32)
-    level_start = []
-    cur = 0
-    for h, w in spatial_shapes:
-        level_start.append(cur)
-        cur += h * w
-    starts = jnp.asarray(level_start, dtype=jnp.int32)
-
-    # grid_sample(align_corners=False): pixel = loc * size - 0.5
-    x = loc[..., 0] * ws[None, None, None, :, None] - 0.5  # (B, M, Lq, L, P)
-    y = loc[..., 1] * hs[None, None, None, :, None] - 0.5
-
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    dx = x - x0
-    dy = y - y0
-
-    idxs = []
-    wts = []
-    for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-        xi = x0 + cx
-        yi = y0 + cy
-        wx = jnp.where(cx == 1, dx, 1.0 - dx)
-        wy = jnp.where(cy == 1, dy, 1.0 - dy)
-        in_x = (xi >= 0) & (xi <= ws[None, None, None, :, None] - 1)
-        in_y = (yi >= 0) & (yi <= hs[None, None, None, :, None] - 1)
-        w = jnp.where(in_x & in_y, wx * wy, 0.0)
-        xi_c = jnp.clip(xi, 0, ws[None, None, None, :, None] - 1)
-        yi_c = jnp.clip(yi, 0, hs[None, None, None, :, None] - 1)
-        flat = (
-            starts[None, None, None, :, None]
-            + yi_c.astype(jnp.int32) * ws.astype(jnp.int32)[None, None, None, :, None]
-            + xi_c.astype(jnp.int32)
-        )
-        idxs.append(flat.reshape(B, M, Lq, L * P))
-        wts.append(w.reshape(B, M, Lq, L * P))
-    return idxs, wts
-
-
 def _merged_corner_table(value_bm: jnp.ndarray, spatial_shapes) -> jnp.ndarray:
     """Build the corner-merged value table.
 
@@ -155,15 +95,19 @@ def _merged_indices_and_slot_weights(sampling_locations, attention_weights, spat
     dx = x - x0
     dy = y - y0
 
-    base_x = jnp.clip(x0, 0.0, ws_b - 2.0)
-    base_y = jnp.clip(y0, 0.0, hs_b - 2.0)
+    # degenerate 1-wide/1-tall levels: clamp the upper bound to 0 (a plain
+    # ws-2 would invert the clip bounds and index into the previous level)
+    base_x = jnp.clip(x0, 0.0, jnp.maximum(ws_b - 2.0, 0.0))
+    base_y = jnp.clip(y0, 0.0, jnp.maximum(hs_b - 2.0, 0.0))
 
     def axis_slot_weights(c0, frac, base, size):
         # weight of true corners c0 (1-frac) and c0+1 (frac) landing on slots
-        # base+0 / base+1; a corner off the map matches no slot.
+        # base+0 / base+1; a corner off the map matches no slot. The +1 slot is
+        # additionally masked when it falls outside the level (size == 1, where
+        # the merged table's +1 slot holds an edge duplicate, not a zero).
         w_lo = jnp.where(base == c0, 1.0 - frac, 0.0) + jnp.where(base == c0 + 1, frac, 0.0)
         w_hi = jnp.where(base + 1 == c0, 1.0 - frac, 0.0) + jnp.where(base + 1 == c0 + 1, frac, 0.0)
-        del size
+        w_hi = jnp.where(base + 1 <= size - 1, w_hi, 0.0)
         return w_lo, w_hi
 
     wx0, wx1 = axis_slot_weights(x0, dx, base_x, ws_b)
