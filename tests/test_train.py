@@ -20,23 +20,7 @@ TINY_OPTS = [
 ]
 
 
-def make_targets(T, npts, n_gt=2):
-    rng = np.random.RandomState(0)
-    gt_ctrl, gt_boxes, gt_ids = [], [], []
-    for t in range(T):
-        ctrl = rng.rand(n_gt, npts, 2).astype(np.float32)
-        boxes = np.sort(rng.rand(n_gt, 4).astype(np.float32).reshape(n_gt, 2, 2), axis=1).reshape(
-            n_gt, 4
-        )[:, [0, 2, 1, 3]]
-        # make boxes large enough to overlap proposals sometimes
-        boxes = np.stack(
-            [boxes[:, 0] * 0.3, boxes[:, 1] * 0.3, 0.4 + boxes[:, 2] * 0.5, 0.4 + boxes[:, 3] * 0.5],
-            -1,
-        )
-        gt_ctrl.append(ctrl)
-        gt_boxes.append(boxes)
-        gt_ids.append(np.arange(1, n_gt + 1))
-    return {"gt_ctrl": gt_ctrl, "gt_boxes": gt_boxes, "gt_ids": gt_ids}
+from gomatching_tpu.utils.synthetic import make_targets
 
 
 @pytest.fixture(scope="module")
