@@ -70,6 +70,7 @@ class GoMatchingModel(nn.Module):
     # compute dtype for the frozen spotter path
     compute_dtype: str = "float32"
     sampling_impl: str = "xla"
+    tiled_halo: int = 8
 
     def setup(self):
         if self.backbone_name == "build_resnet_backbone":
@@ -102,6 +103,7 @@ class GoMatchingModel(nn.Module):
             in_channels=BACKBONE_CHANNELS[self.backbone_name],
             boundary_head=self.boundary_head,
             sampling_impl=self.sampling_impl,
+            tiled_halo=self.tiled_halo,
             name="detection_transformer",
         )
         self.tracker = LSTMatcherHead(
@@ -270,6 +272,7 @@ class SpotterPretrainModel(nn.Module):
     temperature: float = 10000.0
     boundary_head: bool = True
     sampling_impl: str = "xla"
+    tiled_halo: int = 8
 
     def setup(self):
         if self.backbone_name == "build_resnet_backbone":
@@ -304,6 +307,7 @@ class SpotterPretrainModel(nn.Module):
             return_enc_outputs=True,
             return_aux_outputs=True,
             sampling_impl=self.sampling_impl,
+            tiled_halo=self.tiled_halo,
             name="detection_transformer",
         )
 
@@ -343,6 +347,7 @@ def build_pretrain_model(cfg) -> SpotterPretrainModel:
         temperature=float(t.TEMPERATURE),
         boundary_head=t.BOUNDARY_HEAD,
         sampling_impl=cfg.TPU.SAMPLING_IMPL,
+        tiled_halo=cfg.TPU.TILED_HALO,
     )
 
 
@@ -379,4 +384,5 @@ def build_model(cfg) -> GoMatchingModel:
         nms_thresh=cfg.VIDEO_TEST.NMS_THRESH,
         compute_dtype=cfg.MODEL.PRECISION,
         sampling_impl=cfg.TPU.SAMPLING_IMPL,
+        tiled_halo=cfg.TPU.TILED_HALO,
     )

@@ -72,7 +72,10 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
-    sampling_impl: str = "xla"  # 'xla' | 'pallas'
+    # 'xla' (gather core, exact, works everywhere), 'tiled' (one-hot MXU path for
+    # encoder self-attn; falls back to 'xla' outside its exact regime), 'pallas'
+    sampling_impl: str = "xla"
+    tiled_halo: int = 8
 
     @nn.compact
     def __call__(
@@ -114,6 +117,19 @@ class MSDeformAttn(nn.Module):
             from .. ops.deform_attn_pallas import ms_deform_attn_pallas
 
             out = ms_deform_attn_pallas(value, spatial_shapes, loc, attn)
+        elif (
+            self.sampling_impl == "tiled"
+            and Lq == value.shape[1]
+            and token_valid is None
+        ):
+            # encoder self-attn on un-padded inputs: queries are the grid tokens
+            # themselves, so the tiled one-hot MXU contraction applies exactly
+            # (up to the halo bound — see ops/deform_attn_tiled.py docstring)
+            from ..ops.deform_attn_tiled import ms_deform_attn_encoder_tiled
+
+            out = ms_deform_attn_encoder_tiled(
+                value, spatial_shapes, loc, attn, halo=self.tiled_halo
+            )
         else:
             out = ms_deform_attn_core(value, spatial_shapes, loc, attn, query_chunk=query_chunk)
         return nn.Dense(C, name="output_proj")(out)
@@ -128,12 +144,13 @@ class EncoderLayer(nn.Module):
     n_heads: int
     n_points: int
     sampling_impl: str = "xla"
+    tiled_halo: int = 8
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, token_valid):
         attn = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            sampling_impl=self.sampling_impl, name="self_attn"
+            sampling_impl=self.sampling_impl, tiled_halo=self.tiled_halo, name="self_attn"
         )(src + pos, reference_points, src, spatial_shapes, token_valid)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn)
         return FFN(self.dim_feedforward, name="ffn")(src)
@@ -149,6 +166,7 @@ class DecoderLayer(nn.Module):
     n_heads: int
     n_points: int
     sampling_impl: str = "xla"
+    tiled_halo: int = 8
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, memory, spatial_shapes, token_valid):
@@ -171,7 +189,7 @@ class DecoderLayer(nn.Module):
         flat_ref = reference_points.reshape(B, nq * npts, self.n_levels, 2)
         out = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            sampling_impl=self.sampling_impl, name="attn_cross"
+            sampling_impl=self.sampling_impl, tiled_halo=self.tiled_halo, name="attn_cross"
         )(flat_q, flat_ref, memory, spatial_shapes, token_valid, query_chunk=0)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm_cross")(tgt + out.reshape(tgt.shape))
 
@@ -207,6 +225,7 @@ class DeepSoloSpotter(nn.Module):
     # keeps this off and only materializes the last layer
     return_aux_outputs: bool = False
     sampling_impl: str = "xla"
+    tiled_halo: int = 8
 
     def setup(self):
         C = self.d_model
@@ -248,6 +267,7 @@ class DeepSoloSpotter(nn.Module):
                 self.n_heads,
                 self.enc_n_points,
                 sampling_impl=self.sampling_impl,
+                tiled_halo=self.tiled_halo,
                 name=f"encoder_layer_{i}",
             )
             for i in range(self.num_encoder_layers)
@@ -260,6 +280,7 @@ class DeepSoloSpotter(nn.Module):
                 self.n_heads,
                 self.dec_n_points,
                 sampling_impl=self.sampling_impl,
+                tiled_halo=self.tiled_halo,
                 name=f"decoder_layer_{i}",
             )
             for i in range(self.num_decoder_layers)
@@ -297,12 +318,18 @@ class DeepSoloSpotter(nn.Module):
                 pos = pos_embeds[i]
                 mask_l = None if masks is None else masks[i]
             else:
-                # synthesize mask + pos for the extra stride-2 level
+                # synthesize mask + pos for the extra stride-2 level with
+                # torch F.interpolate(mode='nearest') semantics — index
+                # floor(i * in/out), NOT half-pixel-center rounding
+                # (detection_transformer_wobackbone.py:180; golden 'pad' case)
                 if masks is None:
                     mask_l = None
                 else:
-                    m = masks[0].astype(jnp.float32)[:, None]
-                    mask_l = jax.image.resize(m, (b, 1, h, w), method="nearest")[:, 0] > 0.5
+                    m0 = masks[0]
+                    h0, w0 = m0.shape[1], m0.shape[2]
+                    ridx = (jnp.arange(h) * h0) // h
+                    cidx = (jnp.arange(w) * w0) // w
+                    mask_l = m0[:, ridx][:, :, cidx]
                 pos = position_encoding_2d((b, h, w), self.d_model // 2, self.temperature, mask_l)
             level_masks.append(mask_l)
             poss.append(pos.reshape(b, h * w, -1) + self.level_embed[i][None, None, :])

@@ -138,3 +138,36 @@ def test_tiled_under_jit_and_default_tiles():
     got = fn(value, loc, attn)
     want = ms_deform_attn_reference(value, SHAPES, loc, attn)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_spotter_tiled_matches_xla_end_to_end():
+    """MSDeformAttn selects the tiled path for encoder self-attn (Lq == S,
+    no padding masks) and the full spotter output matches the gather core."""
+    from gomatching_tpu.models.pos_encoding import position_encoding_2d
+    from gomatching_tpu.models.spotter import DeepSoloSpotter
+
+    kw = dict(
+        d_model=64, n_heads=4, num_encoder_layers=2, num_decoder_layers=2,
+        dim_feedforward=64, num_queries=8, num_points=5, voc_size=10,
+        in_channels=(32, 48, 64),
+    )
+    feats = [
+        jnp.asarray(
+            np.random.RandomState(i).randn(1, 24 // 2**i, 32 // 2**i, c).astype(np.float32)
+        )
+        for i, c in enumerate(kw["in_channels"])
+    ]
+    pos = [
+        position_encoding_2d((1, f.shape[1], f.shape[2]), 32, 10000.0, None)
+        for f in feats
+    ]
+    m_x = DeepSoloSpotter(sampling_impl="xla", **kw)
+    m_t = DeepSoloSpotter(sampling_impl="tiled", tiled_halo=8, **kw)
+    params = m_x.init(jax.random.PRNGKey(0), feats, pos, None)
+    ox = m_x.apply(params, feats, pos, None)
+    ot = m_t.apply(params, feats, pos, None)
+    for k in ("pred_logits", "pred_text_logits", "pred_ctrl_points",
+              "pred_bd_points", "query_features"):
+        np.testing.assert_allclose(
+            np.asarray(ox[k]), np.asarray(ot[k]), atol=5e-5, err_msg=k
+        )
