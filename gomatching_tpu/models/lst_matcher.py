@@ -132,7 +132,9 @@ class MatcherTransformer(nn.Module):
             memory = MatcherEncoderLayer(
                 self.num_heads, self.feature_dim, self.with_norm, name=f"enc_{i}"
             )(memory, valid)
-        tgt = memory
+        # decoder targets are the RAW input rows, not the encoder output
+        # (transformer.py:80-84: tgt = src[query_inds] with src pre-encoder)
+        tgt = tokens
         for i in range(self.num_decoder_layers):
             tgt = MatcherDecoderLayer(
                 self.num_heads,

@@ -128,9 +128,12 @@ class Tracker:
         nonk_boxes: np.ndarray,
         norm_hw: tuple,
         decay: Optional[np.ndarray] = None,
+        center_gate: bool = False,
     ) -> np.ndarray:
         """Trajectory scoring + Hungarian + threshold -> per-detection track id or -1
-        (gom_lstmatcher.py:429-463, :510-555)."""
+        (gom_lstmatcher.py:429-463, :510-555). ``center_gate`` applies the
+        max_center_dist filter — the reference only does this in
+        run_long_term_match (:536-550), never in the short-term pass."""
         n_k = asso_nonk.shape[0]
         track_ids = np.full((n_k,), -1, np.int64)
         if n_k == 0:
@@ -154,7 +157,7 @@ class Tracker:
         if self.with_iou:
             traj_score = np.maximum(traj_score, last_ious)
 
-        if self.max_center_dist > 0:
+        if center_gate and self.max_center_dist > 0:
             k_ct = (k_boxes[:, :2] + k_boxes[:, 2:]) / 2
             k_s = ((k_boxes[:, 2:] - k_boxes[:, :2]) ** 2).sum(axis=1)
             nonk_ct = (nonk_boxes[:, :2] + nonk_boxes[:, 2:]) / 2
@@ -234,7 +237,8 @@ class Tracker:
             )
             decay = self.decay_time**dts
         new_ids = self._assign(
-            asso_nonk, ids, sub[-1].boxes, nonk_boxes, cur.image_hw, decay=decay
+            asso_nonk, ids, sub[-1].boxes, nonk_boxes, cur.image_hw, decay=decay,
+            center_gate=True,
         )
         for i in range(len(new_ids)):
             if new_ids[i] < 0:

@@ -135,6 +135,224 @@ def load_reference_gomatching_roi_modules():
     return transformer, association_head
 
 
+def load_reference_gom_meta():
+    """Import the reference ``GoMatching`` meta-arch and ``LSTMatcher`` roi-head
+    with a faithful minimal detectron2 façade.
+
+    The façade implements only the small runtime *data structures* the tracker
+    methods touch — Instances / Boxes / pairwise_iou / nms, straight from their
+    documented semantics — plus inert import-time names (registries, the
+    ``@configurable`` decorator, builder functions). All tracking *logic*
+    (detection fusion, short/long-term matching, id bookkeeping) runs from the
+    reference source verbatim; the harness constructs the objects via
+    ``__new__`` + ``_init_asso_head`` so no backbone is ever built.
+
+    Returns (gom_lstmatcher_module, lstmatcher_module, d2_structures_namespace).
+    """
+    load_reference_gomatching_roi_modules()
+    import torch
+    from torch import nn
+
+    d2 = sys.modules["detectron2"]
+
+    class Boxes:
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+        def __len__(self):
+            return self.tensor.shape[0]
+
+        def __getitem__(self, item):
+            return Boxes(self.tensor[item])
+
+        def clone(self):
+            return Boxes(self.tensor.clone())
+
+        def area(self):
+            t = self.tensor
+            return (t[:, 2] - t[:, 0]) * (t[:, 3] - t[:, 1])
+
+        @property
+        def device(self):
+            return self.tensor.device
+
+    def pairwise_iou(boxes1, boxes2):
+        area1, area2 = boxes1.area(), boxes2.area()
+        lt = torch.max(boxes1.tensor[:, None, :2], boxes2.tensor[None, :, :2])
+        rb = torch.min(boxes1.tensor[:, None, 2:], boxes2.tensor[None, :, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[..., 0] * wh[..., 1]
+        union = area1[:, None] + area2[None, :] - inter
+        return torch.where(inter > 0, inter / union, torch.zeros_like(inter))
+
+    class Instances:
+        def __init__(self, image_size, **kwargs):
+            self._image_size = tuple(image_size)
+            self._fields = {}
+            for k, v in kwargs.items():
+                self.set(k, v)
+
+        @property
+        def image_size(self):
+            return self._image_size
+
+        def __setattr__(self, name, val):
+            if name.startswith("_"):
+                super().__setattr__(name, val)
+            else:
+                self.set(name, val)
+
+        def __getattr__(self, name):
+            if name == "_fields" or name not in self._fields:
+                raise AttributeError(name)
+            return self._fields[name]
+
+        def set(self, name, value):
+            self._fields[name] = value
+
+        def has(self, name):
+            return name in self._fields
+
+        def remove(self, name):
+            del self._fields[name]
+
+        def get(self, name):
+            return self._fields[name]
+
+        def __len__(self):
+            for v in self._fields.values():
+                return len(v)
+            return 0
+
+        def __getitem__(self, item):
+            ret = Instances(self._image_size)
+            for k, v in self._fields.items():
+                if isinstance(v, list):
+                    if isinstance(item, torch.Tensor) and item.dtype == torch.bool:
+                        ret.set(k, [x for x, m in zip(v, item.tolist()) if m])
+                    else:
+                        ret.set(k, [v[i] for i in item])
+                else:
+                    ret.set(k, v[item])
+            return ret
+
+    def nms(boxes, scores, iou_threshold):
+        """torchvision.ops.nms semantics: greedy by descending score."""
+        order = scores.argsort(descending=True)
+        keep = []
+        while order.numel() > 0:
+            i = order[0]
+            keep.append(i.item())
+            if order.numel() == 1:
+                break
+            ious = pairwise_iou(Boxes(boxes[i : i + 1]), Boxes(boxes[order[1:]]))[0]
+            order = order[1:][ious <= iou_threshold]
+        return torch.as_tensor(keep, dtype=torch.int64)
+
+    class _Registry:
+        def register(self, obj=None):
+            if obj is None:
+                return lambda o: o
+            return obj
+
+        def get(self, name):
+            raise KeyError(name)
+
+    def configurable(init_func=None, *, from_config=None):
+        if init_func is not None:
+            return init_func
+        return lambda f: f
+
+    class ImageList:
+        pass
+
+    # structures / config / modeling / data / layers / utils facades
+    d2_structures = types.ModuleType("detectron2.structures")
+    d2_structures.Boxes = Boxes
+    d2_structures.pairwise_iou = pairwise_iou
+    d2_structures.Instances = Instances
+    d2_structures.ImageList = ImageList
+    d2_config = types.ModuleType("detectron2.config")
+    d2_config.configurable = configurable
+    d2_modeling = types.ModuleType("detectron2.modeling")
+    d2_modeling.build_backbone = lambda *a, **k: None
+    d2_modeling.build_roi_heads = lambda *a, **k: None
+    d2_mm_build = types.ModuleType("detectron2.modeling.meta_arch.build")
+    d2_mm_build.META_ARCH_REGISTRY = _Registry()
+    d2_mm = types.ModuleType("detectron2.modeling.meta_arch")
+    d2_mm.build = d2_mm_build
+    d2_roi = types.ModuleType("detectron2.modeling.roi_heads.roi_heads")
+    d2_roi.ROI_HEADS_REGISTRY = _Registry()
+
+    class ROIHeads(nn.Module):
+        def __init__(self, **kwargs):
+            super().__init__()
+
+    d2_roi.ROIHeads = ROIHeads
+    d2_roi_pkg = types.ModuleType("detectron2.modeling.roi_heads")
+    d2_roi_pkg.roi_heads = d2_roi
+    d2_pg_utils = types.ModuleType("detectron2.modeling.proposal_generator.proposal_utils")
+    d2_pg_utils.add_ground_truth_to_proposals = lambda *a, **k: None
+    d2_pg = types.ModuleType("detectron2.modeling.proposal_generator")
+    d2_pg.proposal_utils = d2_pg_utils
+    d2_matcher = types.ModuleType("detectron2.modeling.matcher")
+
+    class Matcher:
+        def __init__(self, *a, **k):
+            pass
+
+    d2_matcher.Matcher = Matcher
+    d2_sampling = types.ModuleType("detectron2.modeling.sampling")
+    d2_sampling.subsample_labels = lambda *a, **k: None
+    d2_events = types.ModuleType("detectron2.utils.events")
+    d2_events.get_event_storage = lambda: types.SimpleNamespace(
+        put_scalar=lambda *a, **k: None
+    )
+    d2_comm = types.ModuleType("detectron2.utils.comm")
+    d2_comm.get_world_size = lambda: 1
+    d2_utils = types.ModuleType("detectron2.utils")
+    d2_utils.events = d2_events
+    d2_utils.comm = d2_comm
+    d2_data = types.ModuleType("detectron2.data")
+
+    class _Metadata:
+        def get(self, name):
+            return types.SimpleNamespace(name=name)
+
+    d2_data.MetadataCatalog = _Metadata()
+    sys.modules["detectron2.layers"].nms = nms
+
+    for name, mod in {
+        "detectron2.structures": d2_structures,
+        "detectron2.config": d2_config,
+        "detectron2.modeling": d2_modeling,
+        "detectron2.modeling.meta_arch": d2_mm,
+        "detectron2.modeling.meta_arch.build": d2_mm_build,
+        "detectron2.modeling.roi_heads": d2_roi_pkg,
+        "detectron2.modeling.roi_heads.roi_heads": d2_roi,
+        "detectron2.modeling.proposal_generator": d2_pg,
+        "detectron2.modeling.proposal_generator.proposal_utils": d2_pg_utils,
+        "detectron2.modeling.matcher": d2_matcher,
+        "detectron2.modeling.sampling": d2_sampling,
+        "detectron2.utils": d2_utils,
+        "detectron2.utils.events": d2_events,
+        "detectron2.utils.comm": d2_comm,
+        "detectron2.data": d2_data,
+    }.items():
+        sys.modules.setdefault(name, mod)
+    d2.structures = d2_structures
+    d2.config = d2_config
+    d2.modeling = d2_modeling
+    d2.data = d2_data
+
+    _skeleton("gomatching.modeling.meta_arch", f"{REF}/gomatching/modeling/meta_arch")
+
+    import gomatching.modeling.meta_arch.gom_lstmatcher as gom_lstmatcher
+    import gomatching.modeling.roi_heads.lstmatcher as lstmatcher
+
+    return gom_lstmatcher, lstmatcher, d2_structures
+
+
 def tiny_cfg():
     """Small-dims config shared by the dump scripts and the JAX-side tests.
 
@@ -159,4 +377,7 @@ def tiny_cfg():
     a.FC_DIM = 64
     a.NUM_FC = 2
     a.NUM_HEADS = 4
+    a.NUM_WEIGHT_LAYERS = 0  # every shipped YAML sets 0
+    a.NO_POS_EMB = True  # every shipped YAML sets True
+    a.DROPOUT = 0.0
     return cfg
