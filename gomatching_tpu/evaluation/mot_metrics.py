@@ -233,6 +233,11 @@ class MOTAccumulator:
     iou_threshold: float = 0.5
     # 1.0 = exact transcription match in e2e mode; <1.0 = similarity threshold
     text_sim_threshold: float = 1.0
+    # The ArTVideo protocol feeds motmetrics dist = IoU (eval_trk.py:101-118),
+    # so its Hungarian MINIMIZES IoU among above-threshold pairs; the other
+    # protocols feed 1 - IoU (Track_video_2_0.py:275) and maximize. Protocol
+    # fidelity beats sanity here - set True for ArTVideo scoring.
+    match_lowest_iou: bool = False
     num_gt: int = 0
     num_hyp: int = 0
     num_matches: int = 0
@@ -312,7 +317,8 @@ class MOTAccumulator:
         free_h = [j for j in range(H) if j not in matched_h]
         if free_g and free_h:
             sub = iou[np.ix_(free_g, free_h)]
-            cost = np.where(sub >= self.iou_threshold, 1.0 - sub, 1e6)
+            matchable = sub >= self.iou_threshold
+            cost = np.where(matchable, sub if self.match_lowest_iou else 1.0 - sub, 1e6)
             ri, ci = solve(cost)
             for r, c in zip(ri, ci):
                 if sub[r, c] >= self.iou_threshold:

@@ -91,8 +91,10 @@ def parse_artvideo_json(path, only_curve: bool = False):
     return frames
 
 
-def evaluate_video(gt_frames, res_frames, iou_threshold=0.5, e2e=False, text_sim=1.0):
-    acc = MOTAccumulator(iou_threshold=iou_threshold, text_sim_threshold=text_sim)
+def evaluate_video(gt_frames, res_frames, iou_threshold=0.5, e2e=False, text_sim=1.0,
+                   match_lowest_iou=False):
+    acc = MOTAccumulator(iou_threshold=iou_threshold, text_sim_threshold=text_sim,
+                         match_lowest_iou=match_lowest_iou)
     for frame in sorted(gt_frames):
         g_ids, g_polys, g_txts = gt_frames[frame]
         h_ids, h_polys, h_txts = res_frames.get(frame, ([], [], []))
@@ -160,7 +162,8 @@ def main():
             os.path.join(args.res, name),
         ]
         res_path = next((p for p in res_candidates if os.path.exists(p)), None)
-        if name.endswith(".json"):  # ArTVideo-style GT
+        artvideo = name.endswith(".json")
+        if artvideo:  # ArTVideo-style GT
             gt_frames = parse_artvideo_json(os.path.join(args.gt, name), args.curve)
         else:
             gt_frames = parse_xml(os.path.join(args.gt, name), only_curve=args.curve)
@@ -171,7 +174,10 @@ def main():
                 _, h_polys, _ = res_frames.get(frame, ([], [], []))
                 det_frames.append((g_polys, g_txts, h_polys))
             continue
-        acc = evaluate_video(gt_frames, res_frames, args.iou, args.e2e, args.text_sim)
+        # ArTVideo's official scorer feeds dist = IoU to motmetrics, which then
+        # MINIMIZES IoU among valid pairs (eval_trk.py:101-118) - reproduce it
+        acc = evaluate_video(gt_frames, res_frames, args.iou, args.e2e, args.text_sim,
+                             match_lowest_iou=artvideo)
         per_video[video] = acc.metrics()
         # accumulate into totals (merge counters)
         for f in (
