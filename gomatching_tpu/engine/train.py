@@ -261,8 +261,13 @@ class Trainer:
         return new_state, {**losses, "total_loss": total}
 
     # ------------------------------------------------------------------
-    def prepare_batch(self, spot_out: Dict[str, np.ndarray], targets: Dict) -> Dict:
-        """Host phase: score fusion, proposal threshold, Hungarian + asso GT."""
+    def prepare_batch(self, spot_out: Dict[str, np.ndarray], targets: Dict,
+                      frame_valid: Optional[np.ndarray] = None) -> Dict:
+        """Host phase: score fusion, proposal threshold, Hungarian + asso GT.
+
+        ``frame_valid`` (T,) masks padding frames appended so clips of unequal
+        length can stack on the SPMD 'data' axis — their proposals are dropped
+        and they carry no GT, so they contribute nothing to any loss."""
         from .losses import build_asso_targets, match_rescore
 
         logits = np.asarray(spot_out["pred_logits"], np.float32)  # (T, nq, npts, 1)
@@ -278,6 +283,8 @@ class Trainer:
         # proposal selection: detection threshold then asso threshold (same value
         # chain as gom_lstmatcher.py:608 + lstmatcher.py:276-278)
         prop_valid = (fused > self.train_thresh) & (fused > self.asso_thresh)
+        if frame_valid is not None:
+            prop_valid &= np.asarray(frame_valid, bool)[:, None]
 
         # boxes from boundary extremes, normalized
         bd = np.asarray(spot_out["pred_bd_points"], np.float32)  # (T, nq, npts, 4) in [0,1]
@@ -333,4 +340,70 @@ class Trainer:
         batch = self.prepare_batch(spot_out, targets)
         batch["query_features"] = jnp.asarray(spot_out["query_features"])
         self.state, metrics = self._update(self.state, batch)
+        return {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------------
+    # SPMD data-parallel path: one clip per mesh 'data' slot per iteration —
+    # the TPU equivalent of the reference's DDP launch (train_net.py:186-209).
+    # Loss is the mean over clips, so XLA's gradient psum reproduces DDP's
+    # averaged all-reduce exactly.
+    def shard_state(self):
+        """Replicate trainable/frozen/opt_state across the mesh (DP weights)."""
+        from ..parallel import replicate
+
+        assert self.mesh is not None
+        repl = replicate(self.mesh)
+        put = lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x
+        self.state = TrainState(
+            trainable=jax.tree.map(put, self.state.trainable),
+            frozen=jax.tree.map(put, self.state.frozen),
+            opt_state=jax.tree.map(put, self.state.opt_state),
+            step=self.state.step,
+        )
+
+    def _sharded_update_fn(self, trainable, frozen, opt_state, batch):
+        def loss_fn(tr):
+            total, losses = jax.vmap(lambda b: self._loss_fn(tr, frozen, b))(batch)
+            return total.mean(), jax.tree.map(lambda x: x.mean(), losses)
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        updates, opt_state = self.tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, {**losses, "total_loss": total}
+
+    def _build_sharded_update(self):
+        from ..parallel import clip_sharding, replicate
+
+        repl = replicate(self.mesh)
+        dsh = clip_sharding(self.mesh)
+        self._update_multi = jax.jit(
+            self._sharded_update_fn,
+            in_shardings=(repl, repl, None, dsh),
+            out_shardings=(repl, None, repl),
+        )
+        self._data_sharding = dsh
+
+    def step_multi(self, clips) -> Dict[str, float]:
+        """One iteration over ``len(clips)`` clips sharded on the 'data' axis.
+
+        ``clips``: list of (images (T,H,W,3), image_hw or None, targets); all
+        clips must share (T, H, W) — the caller pads to a common canvas.
+        """
+        assert self.mesh is not None, "step_multi requires a mesh"
+        if not hasattr(self, "_update_multi"):
+            self._build_sharded_update()
+            self.shard_state()
+        batches = []
+        for images, image_hw, targets in clips:
+            spot = self._spot(self.state.frozen, self.state.trainable, images, image_hw)
+            spot = {k: (None if v is None else np.asarray(v)) for k, v in spot.items()}
+            b = self.prepare_batch(spot, targets, frame_valid=targets.get("frame_valid"))
+            b["query_features"] = spot["query_features"]
+            batches.append(jax.tree.map(np.asarray, b))
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+        stacked = jax.tree.map(lambda x: jax.device_put(x, self._data_sharding), stacked)
+        trainable, opt_state, metrics = self._update_multi(
+            self.state.trainable, self.state.frozen, self.state.opt_state, stacked
+        )
+        self.state = TrainState(trainable, self.state.frozen, opt_state, self.state.step + 1)
         return {k: float(v) for k, v in metrics.items()}

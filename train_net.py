@@ -20,7 +20,8 @@ def get_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--config-file", required=True, metavar="FILE")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--num-gpus", type=int, default=1, help="accepted for CLI parity; the TPU mesh is auto-detected")
+    p.add_argument("--num-gpus", "--num-chips", type=int, default=0, dest="num_chips",
+                   help="data-parallel width (reference --num-gpus parity); 0 = all devices")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--max-iter", type=int, default=-1, help="override for smoke runs")
     p.add_argument(
@@ -35,14 +36,18 @@ def get_parser():
     return p
 
 
-def normalize_clip(sample, pixel_mean, pixel_std, pad_multiple: int = 32):
-    """Stack clip frames -> (T, Hp, Wp, 3) normalized; return true (h, w)."""
+def normalize_clip(sample, pixel_mean, pixel_std, pad_multiple: int = 32,
+                   canvas=None, pad_t: int = 0):
+    """Stack clip frames -> (T, Hp, Wp, 3) normalized; return true (h, w).
+
+    ``canvas``/``pad_t`` force a common (Hp, Wp)/frame count so clips from
+    different videos can stack on a sharded leading axis (SPMD path)."""
     h, w = sample.image_hw
-    hp = -(-h // pad_multiple) * pad_multiple
-    wp = -(-w // pad_multiple) * pad_multiple
+    hp = -(-max(h, canvas[0] if canvas else 0) // pad_multiple) * pad_multiple
+    wp = -(-max(w, canvas[1] if canvas else 0) // pad_multiple) * pad_multiple
     mean = np.asarray(pixel_mean, np.float32)
     std = np.asarray(pixel_std, np.float32)
-    batch = np.zeros((len(sample.images), hp, wp, 3), np.float32)
+    batch = np.zeros((max(len(sample.images), pad_t), hp, wp, 3), np.float32)
     for i, img in enumerate(sample.images):
         batch[i, :h, :w] = (img - mean) / std
     return batch, (h, w)
@@ -172,7 +177,19 @@ def main():
             params = init_rescoring_from_classifier(params)
         print("no pretrained weights found - training from random init")
 
-    trainer = Trainer(cfg, model, params)
+    import jax
+
+    # SPMD data-parallel mesh over clips (reference DDP launch equivalent,
+    # train_net.py:186-209): one clip per 'data' slot per iteration
+    n_dev = len(jax.devices())
+    width = args.num_chips if args.num_chips > 0 else n_dev
+    mesh = None
+    if width > 1:
+        from gomatching_tpu.parallel import build_mesh
+
+        mesh = build_mesh(devices=jax.devices()[:width])
+        print(f"data-parallel mesh over {width} devices")
+    trainer = Trainer(cfg, model, params, mesh=mesh)
     n_train = sum(x.size for x in __import__("jax").tree.leaves(trainer.state.trainable))
     n_total = n_train + sum(x.size for x in __import__("jax").tree.leaves(trainer.state.frozen))
     print(f"trainable params: {n_train / 1e6:.2f}M / total {n_total / 1e6:.2f}M")
@@ -224,12 +241,40 @@ def main():
     with open(metrics_path, "a") as mf:
         for i in range(start_iter, max_iter):
             t0 = time.time()
-            sample = next(it)
-            images, _ = normalize_clip(sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD)
-            targets = targets_from_sample(sample)
-            data_t += time.time() - t0
-            t0 = time.time()
-            metrics = trainer.step(images, None, targets)
+            if mesh is None:
+                sample = next(it)
+                images, _ = normalize_clip(sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD)
+                targets = targets_from_sample(sample)
+                data_t += time.time() - t0
+                t0 = time.time()
+                metrics = trainer.step(images, None, targets)
+            else:
+                samples = [next(it) for _ in range(mesh.shape["data"])]
+                canvas = (
+                    max(s_.image_hw[0] for s_ in samples),
+                    max(s_.image_hw[1] for s_ in samples),
+                )
+                t_max = max(len(s_.images) for s_ in samples)
+                clips = []
+                for s_ in samples:
+                    imgs, _ = normalize_clip(
+                        s_, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD,
+                        canvas=canvas, pad_t=t_max,
+                    )
+                    tg = targets_from_sample(sample=s_)
+                    t_real = len(s_.images)
+                    npts = tg["gt_ctrl"][0].shape[1] if tg["gt_ctrl"] else 25
+                    for _ in range(t_max - t_real):
+                        tg["gt_ctrl"].append(np.zeros((0, npts, 2), np.float32))
+                        tg["gt_boxes"].append(np.zeros((0, 4), np.float32))
+                        tg["gt_ids"].append(np.zeros((0,), np.int64))
+                        tg["gt_texts"].append([])
+                    tg["frame_valid"] = np.arange(t_max) < t_real
+                    hw = np.tile(np.asarray(s_.image_hw, np.float32)[None], (t_max, 1))
+                    clips.append((imgs, hw, tg))
+                data_t += time.time() - t0
+                t0 = time.time()
+                metrics = trainer.step_multi(clips)
             step_t += time.time() - t0
             assert np.isfinite(metrics["total_loss"]), f"loss diverged at iter {i}: {metrics}"
             if (i + 1) % log_every == 0:
