@@ -171,6 +171,10 @@ class Trainer:
         self.focal_alpha = cfg.MODEL.TRANSFORMER.LOSS.FOCAL_ALPHA
         self.focal_gamma = cfg.MODEL.TRANSFORMER.LOSS.FOCAL_GAMMA
         self.with_rescore = cfg.MODEL.ROI_HEADS.WITH_RESR
+        # ASSO_HEAD.DROPOUT (default 0.1, not overridden by any shipped YAML)
+        # is active during training, like the reference's nn.Dropout modules
+        # (roi_heads/transformer.py:166-258)
+        self.use_dropout = cfg.MODEL.ASSO_HEAD.DROPOUT > 0.0
 
         self._spot = jax.jit(self._spot_fn)
         self._update = jax.jit(self._update_fn)
@@ -190,12 +194,20 @@ class Trainer:
         }
 
     # ------------------------------------------------------------------
-    def _loss_fn(self, trainable, frozen, batch):
-        """batch: dict of fixed-shape arrays prepared on host."""
+    def _loss_fn(self, trainable, frozen, batch, rng=None):
+        """batch: dict of fixed-shape arrays prepared on host. ``rng``: a
+        'dropout' PRNG key enabling ASSO_HEAD.DROPOUT in the matcher layers;
+        None = deterministic (eval semantics)."""
         model = self.model
+        train = rng is not None
+        call_idx = [0]
 
         def apply(method, *args):
-            return model.apply(merge_params(trainable, frozen), *args, method=method)
+            rngs = None
+            if train:
+                rngs = {"dropout": jax.random.fold_in(rng, call_idx[0])}
+                call_idx[0] += 1
+            return model.apply(merge_params(trainable, frozen), *args, method=method, rngs=rngs)
 
         qf = batch["query_features"]  # (T, nq, npts, C)
         T, nq = qf.shape[:2]
@@ -215,7 +227,7 @@ class Trainer:
         tokens = reid.reshape(1, T * nq, -1)
         valid = batch["prop_valid"].reshape(1, T * nq)
 
-        long_logits = apply(GoMatchingModel.associate_tokens, tokens, valid, False)
+        long_logits = apply(GoMatchingModel.associate_tokens, tokens, valid, False, train)
         long_logits = long_logits.reshape(T * nq, T, nq)
         loss_long = asso_ce_loss(
             long_logits,
@@ -233,7 +245,7 @@ class Trainer:
         for t in range(T - 1):
             pair_tokens = reid[t : t + 2].reshape(1, 2 * nq, -1)
             pair_valid = batch["prop_valid"][t : t + 2].reshape(1, 2 * nq)
-            lg = apply(GoMatchingModel.associate_tokens, pair_tokens, pair_valid, True)
+            lg = apply(GoMatchingModel.associate_tokens, pair_tokens, pair_valid, True, train)
             lg = lg.reshape(2 * nq, 2, nq)
             loss_short = loss_short + asso_ce_loss(
                 lg,
@@ -250,8 +262,13 @@ class Trainer:
         return total, losses
 
     def _update_fn(self, state: TrainState, batch):
+        rng = (
+            jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+            if self.use_dropout
+            else None
+        )
         grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
-        (total, losses), grads = grad_fn(state.trainable, state.frozen, batch)
+        (total, losses), grads = grad_fn(state.trainable, state.frozen, batch, rng)
         if self.mesh is not None and "data" in getattr(self.mesh, "axis_names", ()):
             grads = jax.lax.pmean(grads, "data")
             losses = jax.lax.pmean(losses, "data")
@@ -361,9 +378,16 @@ class Trainer:
             step=self.state.step,
         )
 
-    def _sharded_update_fn(self, trainable, frozen, opt_state, batch):
+    def _sharded_update_fn(self, trainable, frozen, opt_state, batch, rng):
         def loss_fn(tr):
-            total, losses = jax.vmap(lambda b: self._loss_fn(tr, frozen, b))(batch)
+            if self.use_dropout:
+                nclip = jax.tree.leaves(batch)[0].shape[0]
+                rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(nclip))
+                total, losses = jax.vmap(
+                    lambda b, r: self._loss_fn(tr, frozen, b, r)
+                )(batch, rngs)
+            else:
+                total, losses = jax.vmap(lambda b: self._loss_fn(tr, frozen, b))(batch)
             return total.mean(), jax.tree.map(lambda x: x.mean(), losses)
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
@@ -378,7 +402,7 @@ class Trainer:
         dsh = clip_sharding(self.mesh)
         self._update_multi = jax.jit(
             self._sharded_update_fn,
-            in_shardings=(repl, repl, None, dsh),
+            in_shardings=(repl, repl, None, dsh, None),
             out_shardings=(repl, None, repl),
         )
         self._data_sharding = dsh
@@ -402,8 +426,9 @@ class Trainer:
             batches.append(jax.tree.map(np.asarray, b))
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
         stacked = jax.tree.map(lambda x: jax.device_put(x, self._data_sharding), stacked)
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), self.state.step)
         trainable, opt_state, metrics = self._update_multi(
-            self.state.trainable, self.state.frozen, self.state.opt_state, stacked
+            self.state.trainable, self.state.frozen, self.state.opt_state, stacked, rng
         )
         self.state = TrainState(trainable, self.state.frozen, opt_state, self.state.step + 1)
         return {k: float(v) for k, v in metrics.items()}

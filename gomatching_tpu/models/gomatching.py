@@ -64,6 +64,7 @@ class GoMatchingModel(nn.Module):
     asso_num_weight_layers: int = 0
     roi_head_variant: str = "lst"  # "lst" (GoMatching) | "shared" (GoMatching++)
     with_rescore: bool = True
+    asso_dropout: float = 0.0
     # inference thresholds
     test_score_threshold: float = 0.3
     nms_thresh: float = 0.5
@@ -117,6 +118,7 @@ class GoMatchingModel(nn.Module):
             num_weight_layers=self.asso_num_weight_layers,
             variant=self.roi_head_variant,
             with_rescore=self.with_rescore,
+            dropout_rate=self.asso_dropout,
             name="roi_heads",
         )
 
@@ -226,9 +228,9 @@ class GoMatchingModel(nn.Module):
             hw = image_hw.astype(jnp.float32)
         return self.detect(out, hw, score_thresh)
 
-    def associate(self, reid_tokens, valid, short_term: bool):
+    def associate(self, reid_tokens, valid, short_term: bool, train: bool = False):
         """Padded association transformer pass (see LSTMatcherHead.associate)."""
-        return self.tracker.associate(reid_tokens, valid, short_term)
+        return self.tracker.associate(reid_tokens, valid, short_term, train)
 
     # thin method aliases used by the training engine
     def rescore_features(self, query_features):
@@ -237,8 +239,8 @@ class GoMatchingModel(nn.Module):
     def reid_features(self, query_features):
         return self.tracker.reid(query_features)
 
-    def associate_tokens(self, tokens, valid, short_term: bool):
-        return self.tracker.associate(tokens, valid, short_term)
+    def associate_tokens(self, tokens, valid, short_term: bool, train: bool = False):
+        return self.tracker.associate(tokens, valid, short_term, train)
 
     def __call__(self, images, image_hw=None):
         """Full forward touching every submodule (also the init path)."""
@@ -380,6 +382,7 @@ def build_model(cfg) -> GoMatchingModel:
         asso_num_weight_layers=a.NUM_WEIGHT_LAYERS,
         roi_head_variant=variant,
         with_rescore=cfg.MODEL.ROI_HEADS.WITH_RESR,
+        asso_dropout=a.DROPOUT,
         test_score_threshold=t.INFERENCE_TH_TEST,
         nms_thresh=cfg.VIDEO_TEST.NMS_THRESH,
         compute_dtype=cfg.MODEL.PRECISION,

@@ -39,9 +39,13 @@ class MultiHeadAttention(nn.Module):
     """
 
     num_heads: int
+    # dropout on the attention probabilities, like torch nn.MultiheadAttention's
+    # ``dropout=`` arg (roi_heads/transformer.py:173,243-244); inert in eval
+    dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, query, key, value, key_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, query, key, value, key_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
         d = query.shape[-1]
         assert d % self.num_heads == 0
         hd = d // self.num_heads
@@ -57,6 +61,8 @@ class MultiHeadAttention(nn.Module):
         if key_mask is not None:
             logits = jnp.where(key_mask[:, None, None, :], -1e9, logits)
         attn = jax.nn.softmax(logits, axis=-1)
+        if self.dropout_rate > 0.0:
+            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(query.shape)
         return nn.Dense(d, name="out_proj")(out)
 

@@ -15,9 +15,12 @@ the (host-side) tracker slice out the query frame's rows, instead of gathering
 dynamic ``query_inds`` like the reference (roi_heads/transformer.py:80-84). The
 softmax-with-background activation and Hungarian assignment stay outside this module.
 
-All shipped configs set ASSO_HEAD.NORM=False (norms are identity) and DROPOUT=0.1
-(train-time only; this head is exercised deterministically — dropout is applied by
-the training engine via rngs when enabled).
+All shipped configs set ASSO_HEAD.NORM=False (norms are identity) and
+ASSO_HEAD.DROPOUT=0.1: during training the matcher layers apply dropout on the
+attention probabilities, after each attention output, and inside/after the FFN,
+exactly where the reference's nn.Dropout modules sit
+(roi_heads/transformer.py:166-258). Pass ``train=True`` + a 'dropout' rng to
+``associate`` to enable; inference and init stay deterministic.
 """
 
 from __future__ import annotations
@@ -65,49 +68,69 @@ class AffinityHead(nn.Module):
 
 
 class MatcherEncoderLayer(nn.Module):
-    """Self-attn + FFN with residuals; norms identity when with_norm=False
-    (roi_heads/transformer.py:164-231)."""
+    """Self-attn + FFN with residuals; norms identity when with_norm=False;
+    dropout placement mirrors forward_post (roi_heads/transformer.py:191-207:
+    attn-prob dropout, dropout1 on the attn output, dropout inside the FFN,
+    dropout2 on the FFN output)."""
 
     num_heads: int
     dim_feedforward: int
     with_norm: bool = False
+    dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, src, valid: Optional[jnp.ndarray] = None):
+    def __call__(self, src, valid: Optional[jnp.ndarray] = None, deterministic: bool = True):
         key_mask = None if valid is None else ~valid
-        attn = MultiHeadAttention(self.num_heads, name="self_attn")(src, src, src, key_mask)
-        src = src + attn
+        drop = lambda x: (
+            nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+            if self.dropout_rate > 0.0
+            else x
+        )
+        attn = MultiHeadAttention(
+            self.num_heads, dropout_rate=self.dropout_rate, name="self_attn"
+        )(src, src, src, key_mask, deterministic=deterministic)
+        src = src + drop(attn)
         if self.with_norm:
             src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         h = nn.Dense(src.shape[-1], name="linear2")(
-            nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(src))
+            drop(nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(src)))
         )
-        src = src + h
+        src = src + drop(h)
         if self.with_norm:
             src = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
         return src
 
 
 class MatcherDecoderLayer(nn.Module):
-    """Cross-attn (+ optional FFN); no self-attention (NO_DECODER_SELF_ATT=True)."""
+    """Cross-attn (+ optional FFN); no self-attention (NO_DECODER_SELF_ATT=True).
+    Dropout placement mirrors forward_post (roi_heads/transformer.py:264-287)."""
 
     num_heads: int
     dim_feedforward: int
     with_ffn: bool = True
     with_norm: bool = False
+    dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, tgt, memory, valid: Optional[jnp.ndarray] = None):
+    def __call__(self, tgt, memory, valid: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
         key_mask = None if valid is None else ~valid
-        attn = MultiHeadAttention(self.num_heads, name="cross_attn")(tgt, memory, memory, key_mask)
-        tgt = tgt + attn
+        drop = lambda x: (
+            nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+            if self.dropout_rate > 0.0
+            else x
+        )
+        attn = MultiHeadAttention(
+            self.num_heads, dropout_rate=self.dropout_rate, name="cross_attn"
+        )(tgt, memory, memory, key_mask, deterministic=deterministic)
+        tgt = tgt + drop(attn)
         if self.with_norm:
             tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
         if self.with_ffn:
             h = nn.Dense(tgt.shape[-1], name="linear2")(
-                nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(tgt))
+                drop(nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(tgt)))
             )
-            tgt = tgt + h
+            tgt = tgt + drop(h)
             if self.with_norm:
                 tgt = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
         return tgt
@@ -122,16 +145,19 @@ class MatcherTransformer(nn.Module):
     num_decoder_layers: int = 1
     decoder_ffn: bool = True
     with_norm: bool = False
+    dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(
-        self, tokens: jnp.ndarray, valid: Optional[jnp.ndarray] = None
+        self, tokens: jnp.ndarray, valid: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         memory = tokens
         for i in range(self.num_encoder_layers):
             memory = MatcherEncoderLayer(
-                self.num_heads, self.feature_dim, self.with_norm, name=f"enc_{i}"
-            )(memory, valid)
+                self.num_heads, self.feature_dim, self.with_norm,
+                dropout_rate=self.dropout_rate, name=f"enc_{i}"
+            )(memory, valid, deterministic=deterministic)
         # decoder targets are the RAW input rows, not the encoder output
         # (transformer.py:80-84: tgt = src[query_inds] with src pre-encoder)
         tgt = tokens
@@ -141,8 +167,9 @@ class MatcherTransformer(nn.Module):
                 self.feature_dim,
                 with_ffn=self.decoder_ffn,
                 with_norm=self.with_norm,
+                dropout_rate=self.dropout_rate,
                 name=f"dec_{i}",
-            )(tgt, memory, valid)
+            )(tgt, memory, valid, deterministic=deterministic)
         return tgt, memory
 
 
@@ -164,6 +191,7 @@ class LSTMatcherHead(nn.Module):
     variant: str = "lst"
     with_rescore: bool = True
     with_norm: bool = False
+    dropout_rate: float = 0.0
 
     def setup(self):
         self.asso_head = ReidHead(self.feature_dim, self.num_fc, name="asso_head")
@@ -176,6 +204,7 @@ class LSTMatcherHead(nn.Module):
                 self.num_encoder_layers,
                 self.num_decoder_layers,
                 with_norm=self.with_norm,
+                dropout_rate=self.dropout_rate,
                 name="long_term_matcher",
             )
             self.short_term_matcher = MatcherTransformer(
@@ -184,6 +213,7 @@ class LSTMatcherHead(nn.Module):
                 self.num_encoder_layers,
                 self.num_decoder_layers,
                 with_norm=self.with_norm,
+                dropout_rate=self.dropout_rate,
                 name="short_term_matcher",
             )
         elif self.variant == "shared":
@@ -194,6 +224,7 @@ class LSTMatcherHead(nn.Module):
                 num_decoder_layers=self.num_decoder_layers,
                 decoder_ffn=False,
                 with_norm=self.with_norm,
+                dropout_rate=self.dropout_rate,
                 name="shared_matcher",
             )
         else:
@@ -213,13 +244,16 @@ class LSTMatcherHead(nn.Module):
         """(.., npts, C) -> (.., feature_dim) reid embedding."""
         return self.asso_head(query_features)
 
-    def associate(self, reid_tokens, valid, short_term: bool):
-        """(B, N, F) padded reid tokens + (B, N) validity -> (B, N, N) affinity logits."""
+    def associate(self, reid_tokens, valid, short_term: bool, train: bool = False):
+        """(B, N, F) padded reid tokens + (B, N) validity -> (B, N, N) affinity logits.
+
+        ``train=True`` enables ASSO_HEAD.DROPOUT in the matcher layers (needs a
+        'dropout' rng); inference stays deterministic."""
         if self.variant == "lst":
             matcher = self.short_term_matcher if short_term else self.long_term_matcher
         else:
             matcher = self.shared_matcher
-        tgt, memory = matcher(reid_tokens, valid)
+        tgt, memory = matcher(reid_tokens, valid, deterministic=not train)
         predictor = self.local_asso_predictor if short_term else self.asso_predictor
         return predictor(tgt, memory)
 

@@ -25,6 +25,7 @@ TINY_OPTS = [
     "MODEL.TRANSFORMER.INFERENCE_TH_TRAIN", "0.0001",
     "MODEL.ASSO_HEAD.FC_DIM", "64",
     "MODEL.ASSO_HEAD.ASSO_THRESH", "0.0001",
+    "MODEL.ASSO_HEAD.DROPOUT", "0.0",  # deterministic loss comparisons
     "MODEL.WEIGHTS", "''",
 ]
 
