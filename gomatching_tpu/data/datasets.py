@@ -22,6 +22,37 @@ from .bezier import bezier_to_gt, poly14_to_bezier, quad_to_bezier
 
 CTLABELS = {c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz0123456789")}
 
+# image-pretraining dataset registrations (adet/data/builtin.py:18-52); the
+# *_96voc / Chinese splits ship JSONs with pre-encoded 'rec' arrays, so the
+# charset choice lives in the JSON, not the loader (text.py:204-211)
+PRETRAIN_SPLITS = {
+    "syntext1": ("syntext1/train_images", "syntext1/annotations/train_37voc.json"),
+    "syntext2": ("syntext2/train_images", "syntext2/annotations/train_37voc.json"),
+    "mlt": ("mlt2017/train_images", "mlt2017/train_37voc.json"),
+    "totaltext_train": ("totaltext/train_images", "totaltext/train_37voc.json"),
+    "ic13_train": ("ic13/train_images", "ic13/train_37voc.json"),
+    "ic15_train": ("ic15/train_images", "ic15/train_37voc.json"),
+    "textocr1": ("textocr/train_images", "textocr/train_37voc_1.json"),
+    "textocr2": ("textocr/train_images", "textocr/train_37voc_2.json"),
+    "syntext1_96voc": ("syntext1/train_images", "syntext1/annotations/train_96voc.json"),
+    "syntext2_96voc": ("syntext2/train_images", "syntext2/annotations/train_96voc.json"),
+    "mlt_96voc": ("mlt2017/train_images", "mlt2017/train_96voc.json"),
+    "totaltext_train_96voc": ("totaltext/train_images", "totaltext/train_96voc.json"),
+    "ic13_train_96voc": ("ic13/train_images", "ic13/train_96voc.json"),
+    "ic15_train_96voc": ("ic15/train_images", "ic15/train_96voc.json"),
+    "ctw1500_train_96voc": ("ctw1500/train_images", "ctw1500/train_96voc.json"),
+    "chnsyn_train": ("chnsyntext/syn_130k_images", "chnsyntext/chn_syntext.json"),
+    "rects_train": ("ReCTS/ReCTS_train_images", "ReCTS/rects_train.json"),
+    "rects_val": ("ReCTS/ReCTS_val_images", "ReCTS/rects_val.json"),
+    "lsvt_train": ("LSVT/rename_lsvtimg_train", "LSVT/lsvt_train.json"),
+    "art_train": ("ArT/rename_artimg_train", "ArT/art_train.json"),
+    "totaltext_test": ("totaltext/test_images", "totaltext/test.json"),
+    "ic15_test": ("ic15/test_images", "ic15/test.json"),
+    "ctw1500_test": ("ctw1500/test_images", "ctw1500/test.json"),
+    "inversetext_test": ("inversetext/test_images", "inversetext/test.json"),
+    "rects_test": ("ReCTS/ReCTS_test_images", "ReCTS/rects_test.json"),
+}
+
 # name -> (image_root, json_file) relative to the datasets/ dir (vts.py:216-226)
 PREDEFINED_SPLITS = {
     "icdar15_train": ("ICDAR15/frame/", "ICDAR15/train.json"),
@@ -43,28 +74,51 @@ def resolve_dataset(name: str, datasets_root: str = "datasets"):
     if "::" in name:  # ad-hoc "<image_root>::<json_file>" dataset spec
         image_root, json_file = name.split("::", 1)
         return image_root, json_file
-    image_root, json_file = PREDEFINED_SPLITS[name]
+    table = PREDEFINED_SPLITS if name in PREDEFINED_SPLITS else PRETRAIN_SPLITS
+    image_root, json_file = table[name]
     return os.path.join(datasets_root, image_root), os.path.join(datasets_root, json_file)
 
 
 def encode_text(transcription, text_category=None, max_len: int = 25, voc_size: int = 37):
+    """Transcription string -> int[max_len] (pad = voc_size, unknown = voc_size-1).
+
+    voc 37 lowercases over the 36-char table (vts.py:131-147, the reference's
+    only string-encoding path); other voc sizes use the matching table from
+    utils.ctc.load_char_table, case-sensitive (the reference ships those
+    datasets with pre-encoded 'rec' arrays instead — see load_video_json)."""
     text = np.full([max_len], voc_size, dtype=np.int32)
+    if voc_size == 37:
+        table = CTLABELS
+        transform = str.lower
+    else:
+        from ..utils.ctc import load_char_table
+
+        chars = load_char_table(voc_size)
+        table = {c: i for i, c in enumerate(chars)}
+        transform = lambda s: s
     if transcription:
-        s = transcription.lower()
+        s = transform(transcription)
         if s == "###" or text_category == "nonalphanumeric":
             text[0] = voc_size - 1
         else:
             for i, ch in enumerate(s):
                 if i >= max_len:
                     break
-                text[i] = CTLABELS.get(ch, voc_size - 1)
+                text[i] = table.get(ch, voc_size - 1)
     else:
         text[0] = voc_size - 1
     return text
 
 
-def load_video_json(json_file: str, image_root: str, num_points: int = 25) -> List[Dict]:
-    """Parse the COCO-style video json into per-frame records."""
+def load_video_json(json_file: str, image_root: str, num_points: int = 25,
+                    voc_size: int = 37) -> List[Dict]:
+    """Parse the COCO-style video json into per-frame records.
+
+    Image-pretraining JSONs (PRETRAIN_SPLITS) carry pre-encoded 'rec' arrays;
+    those are used verbatim, and instances whose rec is entirely the unknown
+    class are dropped, mirroring adet load_text_json (text.py:204-211).
+    Video JSONs carry 'transcription' strings instead (vts.py:131-147).
+    """
     with open(json_file) as f:
         coco = json.load(f)
 
@@ -89,11 +143,21 @@ def load_video_json(json_file: str, image_root: str, num_points: int = 25) -> Li
         }
         objs = []
         for anno in anns_by_image.get(img["id"], []):
+            if "rec" in anno and anno["rec"] is not None:
+                rec = np.asarray(anno["rec"], np.int32)
+                if np.sum(rec != voc_size) == 0:  # all-unknown: no text script
+                    continue
+                texts = np.full((max(25, len(rec)),), voc_size, np.int32)
+                texts[: len(rec)] = rec
+            else:
+                texts = encode_text(
+                    anno.get("transcription"), anno.get("text_category"), voc_size=voc_size
+                )
             obj = {
                 "bbox": anno.get("bbox"),
                 "category_id": 0,
                 "instance_id": inst_map.get(anno.get("instance_id", 0), 0),
-                "texts": encode_text(anno.get("transcription"), anno.get("text_category")),
+                "texts": texts,
             }
             bez = None
             if "bezier_pts" in anno:

@@ -54,6 +54,43 @@ def build_spotter_targets(record: Dict, max_gt: int, num_points: int, voc_size: 
     return out
 
 
+def build_video_spotter_targets(sample, max_gt: int, num_points: int, voc_size: int):
+    """Per-frame padded SpotterCriterion targets from a video ClipSample,
+    stacked on the frame axis -> dict of (T, max_gt, ...) arrays.
+
+    TransformerPureVideoDetector parity: the reference's video pretraining
+    meta-arch (video_text_spotter.py:106) is byte-identical to the image one
+    (text_spotter.py:106) — the 'video' part is only that the batch dimension
+    carries the frames of one clip, which is exactly what this builds.
+    """
+    h, w = sample.image_hw
+    wh = np.asarray([w, h], np.float32)
+    T = len(sample.images)
+    t_len = sample.gt_texts[0].shape[1] if len(sample.gt_texts) and sample.gt_texts[0].ndim == 2 else 25
+    out = {
+        "valid": np.zeros((T, max_gt), bool),
+        "labels": np.zeros((T, max_gt), np.int32),
+        "ctrl_points": np.zeros((T, max_gt, num_points, 2), np.float32),
+        "bd_points": np.zeros((T, max_gt, num_points, 4), np.float32),
+        "texts": np.full((T, max_gt, t_len), voc_size, np.int32),
+        "beziers": np.zeros((T, max_gt, 4, 2), np.float32),
+    }
+    for t in range(T):
+        n = min(len(sample.gt_ctrl[t]), max_gt)
+        for i in range(n):
+            out["valid"][t, i] = True
+            out["ctrl_points"][t, i] = sample.gt_ctrl[t][i] / wh
+            # mapper holds the boundary as (2*npts, 2) point pairs; the loss
+            # wants the dataset's (npts, 4) (top-xy, bottom-xy) rows
+            out["bd_points"][t, i] = (
+                sample.gt_boundary[t][i].reshape(num_points, 4)
+                / np.concatenate([wh, wh])
+            )
+            out["texts"][t, i] = sample.gt_texts[t][i]
+            out["beziers"][t, i] = sample.gt_beziers[t][i] / wh
+    return out
+
+
 class PretrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -81,12 +118,23 @@ class SpotterPretrainer:
             from .predictor import init_params
 
             params = init_params(self.model)
+        self.use_drop_path = (
+            cfg.MODEL.BACKBONE.NAME == "build_swin_backbone"
+            and cfg.MODEL.SWIN.DROP_PATH_RATE > 0.0
+        )
         self.state = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         self._step_fn = jax.jit(self._update)
 
     # ------------------------------------------------------------------
-    def _loss(self, params, images, image_hw, targets):
-        out = self.model.apply(params, images, image_hw)
+    def _loss(self, params, images, image_hw, targets, rng=None):
+        # drop-path (Swin) needs a 'dropout' rng and train=True; other backbones
+        # have no train-time stochasticity so the deterministic path is identical
+        if rng is not None:
+            out = self.model.apply(
+                params, images, image_hw, True, rngs={"dropout": rng}
+            )
+        else:
+            out = self.model.apply(params, images, image_hw)
         # under GSPMD the batch arrays are globally sharded, so this sum already
         # spans all data shards — the explicit all_reduce of the reference
         # (losses.py:260-262) falls out of the programming model
@@ -96,8 +144,13 @@ class SpotterPretrainer:
         return total, losses
 
     def _update(self, state: PretrainState, images, image_hw, targets):
+        rng = (
+            jax.random.fold_in(jax.random.PRNGKey(23), state.step)
+            if self.use_drop_path
+            else None
+        )
         (total, losses), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            state.params, images, image_hw, targets
+            state.params, images, image_hw, targets, rng
         )
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

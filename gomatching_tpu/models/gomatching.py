@@ -65,6 +65,7 @@ class GoMatchingModel(nn.Module):
     roi_head_variant: str = "lst"  # "lst" (GoMatching) | "shared" (GoMatching++)
     with_rescore: bool = True
     asso_dropout: float = 0.0
+    swin_type: str = "tiny"
     # inference thresholds
     test_score_threshold: float = 0.3
     nms_thresh: float = 0.5
@@ -81,7 +82,10 @@ class GoMatchingModel(nn.Module):
         elif self.backbone_name == "build_swin_backbone":
             from .swin import SwinTransformer
 
-            self.backbone = SwinTransformer(name="backbone")
+            self.backbone = SwinTransformer(
+                depths=(2, 2, 18, 2) if self.swin_type == "small" else (2, 2, 6, 2),
+                name="backbone",
+            )
         elif self.backbone_name == "build_vitaev2_backbone":
             from .vitae import ViTAEv2
 
@@ -275,6 +279,8 @@ class SpotterPretrainModel(nn.Module):
     boundary_head: bool = True
     sampling_impl: str = "xla"
     tiled_halo: int = 8
+    swin_type: str = "tiny"
+    swin_drop_path: float = 0.0
 
     def setup(self):
         if self.backbone_name == "build_resnet_backbone":
@@ -284,7 +290,11 @@ class SpotterPretrainModel(nn.Module):
         elif self.backbone_name == "build_swin_backbone":
             from .swin import SwinTransformer
 
-            self.backbone = SwinTransformer(name="backbone")
+            self.backbone = SwinTransformer(
+                depths=(2, 2, 18, 2) if self.swin_type == "small" else (2, 2, 6, 2),
+                drop_path_rate=self.swin_drop_path,
+                name="backbone",
+            )
         elif self.backbone_name == "build_vitaev2_backbone":
             from .vitae import ViTAEv2
 
@@ -313,9 +323,13 @@ class SpotterPretrainModel(nn.Module):
             name="detection_transformer",
         )
 
-    def __call__(self, images: jnp.ndarray, image_hw: Optional[jnp.ndarray] = None):
+    def __call__(self, images: jnp.ndarray, image_hw: Optional[jnp.ndarray] = None,
+                 train: bool = False):
         b, H, W, _ = images.shape
-        feats = self.backbone(images)
+        if self.backbone_name == "build_swin_backbone":
+            feats = self.backbone(images, train=train)  # drop-path active in train
+        else:
+            feats = self.backbone(images)
         feats = [feats["res3"], feats["res4"], feats["res5"]]
         masks = GoMatchingModel._level_masks(self, (H, W), image_hw, b)
         pos = [
@@ -350,6 +364,8 @@ def build_pretrain_model(cfg) -> SpotterPretrainModel:
         boundary_head=t.BOUNDARY_HEAD,
         sampling_impl=cfg.TPU.SAMPLING_IMPL,
         tiled_halo=cfg.TPU.TILED_HALO,
+        swin_type=cfg.MODEL.SWIN.TYPE,
+        swin_drop_path=cfg.MODEL.SWIN.DROP_PATH_RATE,
     )
 
 

@@ -70,9 +70,19 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    # stochastic depth on both residual branches (swin_transformer.py:221,287,291);
+    # train-time only — GoMatching freezes the backbone so this is pretraining-only
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        def dp(branch):
+            if self.drop_path <= 0.0:
+                return branch
+            # per-sample branch drop with 1/(1-p) rescale == timm DropPath
+            return nn.Dropout(self.drop_path, broadcast_dims=(1, 2, 3))(
+                branch, deterministic=deterministic
+            )
         # x: (B, H, W, C)
         B, H, W, C = x.shape
         ws = self.window_size
@@ -99,13 +109,13 @@ class SwinBlock(nn.Module):
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
         x = x[:, :H, :W]
-        x = shortcut + x
+        x = shortcut + dp(x)
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, name="mlp_fc2")(y)
-        return x + y
+        return x + dp(y)
 
 
 def _shift_mask(Hp, Wp, ws, shift):
@@ -145,9 +155,11 @@ class SwinTransformer(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_size: int = 7
     out_indices: Sequence[int] = (1, 2, 3)
+    # per-block rates ramp linearly to drop_path_rate (swin_transformer.py:570)
+    drop_path_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         # patch embed: conv 4x4 stride 4 + LN
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), padding="VALID", name="patch_embed_proj")(
             jnp.pad(x, ((0, 0), (0, (4 - x.shape[1] % 4) % 4), (0, (4 - x.shape[2] % 4) % 4), (0, 0)))
@@ -156,6 +168,9 @@ class SwinTransformer(nn.Module):
 
         outputs = {}
         dim = self.embed_dim
+        total = sum(self.depths)
+        rates = np.linspace(0.0, self.drop_path_rate, total)
+        bidx = 0
         for si, depth in enumerate(self.depths):
             for bi in range(depth):
                 x = SwinBlock(
@@ -163,8 +178,10 @@ class SwinTransformer(nn.Module):
                     self.num_heads[si],
                     self.window_size,
                     shift=0 if bi % 2 == 0 else self.window_size // 2,
+                    drop_path=float(rates[bidx]),
                     name=f"layers_{si}_blocks_{bi}",
-                )(x)
+                )(x, deterministic=not train)
+                bidx += 1
             if si in self.out_indices:
                 out = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{si}")(x)
                 outputs[f"res{si + 2}"] = out

@@ -1,0 +1,153 @@
+"""Pretraining surface (VERDICT r1 #7): video meta-arch path, voc-96 charset,
+predefined image-dataset registrations, Swin drop-path."""
+
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+TINY = [
+    "MODEL.TRANSFORMER.ENC_LAYERS", "1",
+    "MODEL.TRANSFORMER.DEC_LAYERS", "1",
+    "MODEL.TRANSFORMER.NUM_QUERIES", "8",
+    "MODEL.TRANSFORMER.NUM_POINTS", "5",
+    "MODEL.TRANSFORMER.HIDDEN_DIM", "64",
+    "MODEL.TRANSFORMER.NHEADS", "4",
+    "MODEL.TRANSFORMER.DIM_FEEDFORWARD", "64",
+    "MODEL.ASSO_HEAD.FC_DIM", "64",
+    "MODEL.WEIGHTS", "''",
+]
+
+
+def test_voc96_encode_decode_roundtrip():
+    from gomatching_tpu.data.datasets import encode_text
+    from gomatching_tpu.utils.ctc import ctc_decode, load_char_table
+
+    s = "Ab c!9"
+    enc = encode_text(s, voc_size=96, max_len=25)
+    table = load_char_table(96)
+    dec = ctc_decode([int(c) for c in enc], 96, table)
+    assert dec == s
+    # 37-voc stays lowercase over the 36-char table (vts.py:131-147)
+    enc37 = encode_text("Ab", voc_size=37)
+    assert enc37[0] == 0 and enc37[1] == 1
+
+
+def test_pretrain_splits_registered():
+    from gomatching_tpu.data.datasets import PRETRAIN_SPLITS, resolve_dataset
+
+    for name in ("syntext1", "mlt_96voc", "totaltext_train", "ic15_train_96voc",
+                 "chnsyn_train", "lsvt_train", "totaltext_test"):
+        assert name in PRETRAIN_SPLITS
+    root, jf = resolve_dataset("ic15_train_96voc")
+    assert jf.endswith("ic15/train_96voc.json")
+
+
+def test_pre_encoded_rec_annotations(tmp_path):
+    """Image-pretraining JSONs carry pre-encoded 'rec' arrays; all-unknown recs
+    drop the instance (adet text.py:204-211)."""
+    from gomatching_tpu.data.datasets import load_video_json
+
+    js = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 64, "width": 64}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [1, 1, 10, 10],
+             "poly": [1, 1, 11, 1, 11, 11, 1, 11],
+             "rec": [33, 66, 1] + [96] * 22, "instance_id": 0},
+            {"id": 2, "image_id": 1, "category_id": 1, "bbox": [1, 1, 10, 10],
+             "poly": [1, 1, 11, 1, 11, 11, 1, 11],
+             "rec": [96] * 25, "instance_id": 0},
+        ],
+        "categories": [{"id": 1, "name": "text"}],
+    }
+    (tmp_path / "t.json").write_text(json.dumps(js))
+    recs = load_video_json(str(tmp_path / "t.json"), str(tmp_path), voc_size=96)
+    annos = recs[0]["annotations"]
+    assert len(annos) == 1  # all-unknown rec dropped
+    assert annos[0]["texts"][0] == 33
+
+
+def test_swin_drop_path_train_vs_eval():
+    from gomatching_tpu.models.swin import SwinTransformer
+
+    m0 = SwinTransformer(depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), embed_dim=32)
+    m1 = SwinTransformer(depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), embed_dim=32,
+                         drop_path_rate=0.5)
+    x = np.random.RandomState(0).randn(2, 56, 56, 3).astype(np.float32)
+    params = m0.init(jax.random.PRNGKey(0), x)
+    # drop-path adds no params: converted checkpoints load into either
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), x)
+    )
+    e0 = m1.apply(params, x)  # eval: identical to rate-0 model
+    np.testing.assert_array_equal(
+        np.asarray(e0["res5"]), np.asarray(m0.apply(params, x)["res5"])
+    )
+    t1 = m1.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = m1.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.abs(np.asarray(t1["res5"]) - np.asarray(t2["res5"])).max() > 1e-6
+
+
+def _write_video_dataset(tmp_path):
+    import cv2
+
+    frame_dir = tmp_path / "frames"
+    frame_dir.mkdir()
+    images, annotations = [], []
+    rng = np.random.RandomState(0)
+    aid = 1
+    for vid in range(2):
+        for fi in range(3):
+            img_id = vid * 10 + fi
+            fn = f"v{vid}_{fi}.jpg"
+            cv2.imwrite(str(frame_dir / fn), rng.randint(0, 255, (72, 96, 3), np.uint8))
+            images.append(
+                {"id": img_id, "file_name": fn, "height": 72, "width": 96, "video_id": vid}
+            )
+            x0 = 10 + fi * 3
+            annotations.append(
+                {"id": aid, "image_id": img_id, "category_id": 1,
+                 "bbox": [x0, 20, 30, 14],
+                 "poly": [x0, 20, x0 + 30, 20, x0 + 30, 34, x0, 34],
+                 "transcription": "abc", "instance_id": 100 + vid}
+            )
+            aid += 1
+    (tmp_path / "train.json").write_text(
+        json.dumps({"images": images, "annotations": annotations,
+                    "categories": [{"id": 1, "name": "text"}]})
+    )
+    return str(frame_dir), str(tmp_path / "train.json")
+
+
+def test_video_pretraining_smoke(tmp_path, monkeypatch):
+    """--task spotter with META_ARCHITECTURE TransformerPureVideoDetector: clips
+    batch through the spotter with per-frame SetCriterion targets
+    (video_text_spotter.py:106 parity)."""
+    from gomatching_tpu.data.datasets import register_dataset
+
+    frame_dir, json_path = _write_video_dataset(tmp_path)
+    register_dataset("synth_vpre_train", frame_dir, json_path)
+    out_dir = str(tmp_path / "out")
+    argv = [
+        "train_net.py", "--config-file", "configs/GoMatching_ICDAR15.yaml",
+        "--task", "spotter", "--max-iter", "2",
+        "--opts", *TINY,
+        "MODEL.META_ARCHITECTURE", "TransformerPureVideoDetector",
+        "DATASETS.TRAIN", "('synth_vpre_train',)",
+        "OUTPUT_DIR", out_dir,
+        "INPUT.TRAIN_SIZE", "64",
+        "INPUT.MIN_SIZE_TRAIN", "(64,)",
+        "INPUT.VIDEO.TRAIN_LEN", "2",
+        "SOLVER.CHECKPOINT_PERIOD", "2",
+        "TPU.MAX_GT", "4",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    sys.path.insert(0, os.getcwd())
+    import train_net
+
+    train_net.main()
+    ckpts = os.listdir(os.path.join(out_dir, "checkpoints"))
+    assert any(f.startswith("spotter_") for f in ckpts), ckpts

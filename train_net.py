@@ -77,6 +77,33 @@ def init_rescoring_from_classifier(params):
     return params
 
 
+def pretrain_video_main(args, cfg):
+    """Video-spotter pretraining (META_ARCHITECTURE: TransformerPureVideoDetector,
+    video_text_spotter.py:106): whole clips batch through the spotter with
+    per-frame SetCriterion targets from the video clip mapper."""
+    from gomatching_tpu.data.loader import build_train_loader
+    from gomatching_tpu.engine.checkpoint import save_params
+    from gomatching_tpu.engine.pretrain import SpotterPretrainer, build_video_spotter_targets
+
+    t = cfg.MODEL.TRANSFORMER
+    trainer = SpotterPretrainer(cfg)
+    loader = build_train_loader(cfg)
+    max_iter = args.max_iter if args.max_iter > 0 else cfg.SOLVER.MAX_ITER
+    ckpt_dir = os.path.join(cfg.OUTPUT_DIR, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    it = iter(loader)
+    for i in range(max_iter):
+        sample = next(it)
+        images, (h, w) = normalize_clip(sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD)
+        targets = build_video_spotter_targets(sample, cfg.TPU.MAX_GT, t.NUM_POINTS, t.VOC_SIZE)
+        hw = np.tile(np.asarray([h, w], np.float32)[None], (len(images), 1))
+        metrics = trainer.step(images, targets, image_hw=hw)
+        if (i + 1) % 20 == 0:
+            print(f"iter {i + 1}/{max_iter} total {metrics['total_loss']:.4f}")
+        if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (i + 1) == max_iter:
+            save_params(os.path.join(ckpt_dir, f"spotter_{i + 1:07d}.npz"), trainer.state.params)
+
+
 def pretrain_main(args):
     """DeepSolo image-spotter pretraining loop (--task spotter)."""
     import cv2
@@ -90,6 +117,8 @@ def pretrain_main(args):
 
     cfg = setup_train_cfg(args.config_file, args.opts)
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    if cfg.MODEL.META_ARCHITECTURE == "TransformerPureVideoDetector":
+        return pretrain_video_main(args, cfg)
     t = cfg.MODEL.TRANSFORMER
     model = build_pretrain_model(cfg)
     params = init_params(model)
@@ -98,7 +127,7 @@ def pretrain_main(args):
     records = []
     for name in cfg.DATASETS.TRAIN:
         image_root, json_file = resolve_dataset(name)
-        records.extend(load_video_json(json_file, image_root, t.NUM_POINTS))
+        records.extend(load_video_json(json_file, image_root, t.NUM_POINTS, voc_size=t.VOC_SIZE))
     print(f"pretraining on {len(records)} images")
 
     max_iter = args.max_iter if args.max_iter > 0 else cfg.SOLVER.MAX_ITER
