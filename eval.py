@@ -109,14 +109,22 @@ def main():
             (os.path.join(video, f) for f in os.listdir(video)),
             key=lambda x: int(os.path.basename(x).split(".")[0]),
         )
-        frames = [cv2.imread(p) for p in img_paths]
-        print(f"processing {video_name}... ({len(frames)} frames)")
+        # lazy decode: frames stream through <=100-frame windows inside the
+        # predictor (reference eval.py:329), so a 2000-frame BOVText video
+        # never materializes on the host; --show keeps the eager list because
+        # the visualizer needs every frame afterwards
+        n_frames = len(img_paths)
+        if args.show:
+            frames = [cv2.imread(p) for p in img_paths]
+        else:
+            frames = (cv2.imread(p) for p in img_paths)
+        print(f"processing {video_name}... ({n_frames} frames)")
 
         t0 = time.time()
         tracked = predictor.process_video(frames, time_cost)
         elapsed = time.time() - t0
         time_cost["total_time"] += elapsed
-        total_frames_count += len(frames)
+        total_frames_count += n_frames
 
         annotation = {}
         for frame_id, det in enumerate(tracked):
@@ -144,8 +152,8 @@ def main():
                 decode_text=predictor.decode_text,
             )
         print(
-            f"Video: {video_name} per_img_time: {elapsed / max(len(frames), 1):.4f} "
-            f"FPS: {len(frames) / max(elapsed, 1e-9):.2f}"
+            f"Video: {video_name} per_img_time: {elapsed / max(n_frames, 1):.4f} "
+            f"FPS: {n_frames / max(elapsed, 1e-9):.2f}"
         )
 
     trace_ctx.__exit__(None, None, None)

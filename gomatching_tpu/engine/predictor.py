@@ -277,22 +277,39 @@ class VideoPredictor:
                     image_hw=(in_h, in_w),
                 )
 
-    def process_video(self, frames: List[np.ndarray], time_cost: Optional[Dict] = None):
+    def process_video(self, frames, time_cost: Optional[Dict] = None,
+                      window: int = 100):
         """Full pipeline for one video -> list of tracked FrameDetections scaled to
         the original resolution.
 
-        Spotting completes before tracking starts: the tracker's own (tiny)
-        device calls would otherwise serialize behind every queued spot batch on
-        the in-order execution stream and sync per frame — measured ~10% slower
-        than the two-phase structure (see spot_frames_iter for the streaming
-        variant when per-frame latency matters more than throughput)."""
+        ``frames`` may be any iterable of BGR arrays — a lazy decoder generator
+        keeps host memory bounded for arbitrarily long videos. Frames are
+        processed in <= ``window``-frame spot-then-track phases (the reference's
+        100-frame batching, eval.py:329): per window, spotting completes before
+        tracking starts (the tracker's tiny device calls would otherwise
+        serialize behind every queued spot batch on the in-order execution
+        stream and sync per frame — measured ~10% slower), raw frames are
+        dropped after dispatch, and the tracker's reid memory is freed outside
+        its TEST_LEN sliding window — so peak memory is O(window), not O(video).
+        """
         tc = time_cost if time_cost is not None else {}
         self.tracker.reset()
-        dets = self.spot_frames(frames, tc)
-        t0 = time.time()
-        for det in dets:
-            self.tracker.step(det)
-        tc["tracker"] = tc.get("tracker", 0) + time.time() - t0
+
+        def flush(buf):
+            dets = self.spot_frames(buf, tc)
+            t0 = time.time()
+            for det in dets:
+                self.tracker.step(det)
+            tc["tracker"] = tc.get("tracker", 0) + time.time() - t0
+
+        buf: List[np.ndarray] = []
+        for frame in frames:
+            buf.append(frame)
+            if len(buf) >= window:
+                flush(buf)
+                buf = []
+        if buf:
+            flush(buf)
 
         t0 = time.time()
         tracked = self.tracker.remove_short_tracks()

@@ -91,3 +91,36 @@ def test_empty_detections(predictor):
         predictor.tracker.step(d)
     for d in predictor.tracker.remove_short_tracks():
         assert len(d) == 0
+
+
+def test_long_video_streams_in_bounded_windows(predictor):
+    """process_video consumes a lazy frame generator in <=window-frame phases
+    (reference eval.py:329): a long video never materializes on the host, and
+    track ids stay consistent across window boundaries."""
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+
+    n_total = 37
+    window = 10
+    live = {"buffered": 0, "max_seen": 0}
+    orig_spot = predictor.spot_frames
+
+    def counting_spot(frames, tc=None):
+        live["max_seen"] = max(live["max_seen"], len(frames))
+        return orig_spot(frames, tc)
+
+    predictor.spot_frames = counting_spot
+
+    def gen():
+        for _ in range(n_total):
+            yield base.copy()
+
+    tracked = predictor.process_video(gen(), window=window)
+    predictor.spot_frames = orig_spot
+    assert len(tracked) == n_total
+    assert live["max_seen"] <= window
+    # identical frames -> the same detections should keep one id across windows
+    ids_per_frame = [set(f.track_ids.tolist()) for f in tracked]
+    if all(len(s) > 0 for s in ids_per_frame):
+        common = set.intersection(*ids_per_frame)
+        assert common, "tracks should persist across window boundaries"
