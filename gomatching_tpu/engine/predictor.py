@@ -298,8 +298,12 @@ class VideoPredictor:
         def flush(buf):
             dets = self.spot_frames(buf, tc)
             t0 = time.time()
+            # one batched device call covers every adjacent pair's short-term
+            # matcher pass (incl. the pair spanning the previous window)
+            prevs = ([self.tracker.frames[-1]] if self.tracker.frames else []) + dets[:-1]
+            cache = self.tracker.precompute_short_asso(list(zip(prevs, dets[len(dets) - len(prevs):])))
             for det in dets:
-                self.tracker.step(det)
+                self.tracker.step(det, short_asso_cache=cache)
             tc["tracker"] = tc.get("tracker", 0) + time.time() - t0
 
         buf: List[np.ndarray] = []

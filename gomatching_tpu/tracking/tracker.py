@@ -179,13 +179,46 @@ class Tracker:
         return track_ids
 
     # ------------------------------------------------------------------
-    def _short_term(self, prev: FrameDetections, cur: FrameDetections):
+    def precompute_short_asso(self, pairs: List[tuple]):
+        """Batch ALL adjacent-pair short-term matcher passes into ONE device call.
+
+        Short-term association logits depend only on the two frames' reid
+        features — never on track ids — so every (prev, cur) pair of a window
+        can run together, replacing T-1 sequential device round trips (~24 ms
+        each through the tunnel) with one batched call. Returns a cache dict
+        {id(cur): activated (n_cur, N) rows} consumed by ``step``.
+        """
+        pairs = [(p, c) for p, c in pairs if len(p) + len(c) > 0 and len(c) > 0]
+        if not pairs:
+            return {}
+        npad = _bucket(max(len(p) + len(c) for p, c in pairs))
+        B = len(pairs)
+        feats = np.zeros((B, npad, pairs[0][0].reid.shape[1] if pairs[0][0].reid is not None else pairs[0][1].reid.shape[1]), np.float32)
+        valid = np.zeros((B, npad), bool)
+        for i, (p, c) in enumerate(pairs):
+            f = np.concatenate([p.reid, c.reid], axis=0).astype(np.float32)
+            feats[i, : len(f)] = f
+            valid[i, : len(f)] = True
+        logits = np.asarray(self.associate_fn(feats, valid, True))
+        cache = {}
+        for i, (p, c) in enumerate(pairs):
+            n_t = [len(p), len(c)]
+            N = sum(n_t)
+            rows = logits[i, n_t[0] : N, :N]
+            cache[id(c)] = activate_asso(rows, n_t)
+        return cache
+
+    def _short_term(self, prev: FrameDetections, cur: FrameDetections,
+                    cached_asso: Optional[np.ndarray] = None):
         frames = [prev, cur]
         n_t = [len(prev), len(cur)]
         if len(cur) == 0:
             cur.track_ids = np.zeros((0,), np.int64)
             return np.zeros((0,), np.int64)
-        asso = self._run_matcher(frames, short_term=True)  # (n_cur, N)
+        if cached_asso is not None:
+            asso = cached_asso
+        else:
+            asso = self._run_matcher(frames, short_term=True)  # (n_cur, N)
         asso_nonk = asso[:, : n_t[0]]
         track_ids = self._assign(
             asso_nonk, prev.track_ids, cur.boxes, prev.boxes, cur.image_hw
@@ -247,21 +280,24 @@ class Tracker:
         cur.track_ids[reid_idx] = new_ids
 
     # ------------------------------------------------------------------
-    def step(self, det: FrameDetections) -> FrameDetections:
-        """Consume one frame's detections; assigns det.track_ids in place."""
+    def step(self, det: FrameDetections, short_asso_cache: Optional[Dict] = None) -> FrameDetections:
+        """Consume one frame's detections; assigns det.track_ids in place.
+        ``short_asso_cache``: optional precomputed activations from
+        ``precompute_short_asso`` keyed by id(det)."""
+        cached = None if short_asso_cache is None else short_asso_cache.get(id(det))
         frame_id = len(self.frames)
         self.frames.append(det)
         if frame_id == 0:
             det.track_ids = np.arange(1, len(det) + 1, dtype=np.int64)
             self.id_count = len(det) + 1
         elif frame_id == 1:
-            self._short_term(self.frames[0], det)
+            self._short_term(self.frames[0], det, cached)
             for i in range(len(det)):
                 if det.track_ids[i] < 0:
                     self.id_count += 1
                     det.track_ids[i] = self.id_count
         else:
-            self._short_term(self.frames[frame_id - 1], det)
+            self._short_term(self.frames[frame_id - 1], det, cached)
             if (det.track_ids == -1).any():
                 win_st = max(0, frame_id + 1 - self.test_len)
                 self._long_term(self.frames[win_st : frame_id + 1])

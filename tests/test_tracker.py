@@ -10,8 +10,8 @@ import numpy as np
 
 
 def _stub_associate(reid_padded, valid, short_term):
-    r = np.asarray(reid_padded)[0]  # (N, F)
-    return (r @ r.T * 10.0)[None]
+    r = np.asarray(reid_padded)  # (B, N, F)
+    return np.einsum("bnf,bmf->bnm", r, r) * 10.0
 
 
 def _frame(embs, pos=0.0):
@@ -97,3 +97,32 @@ def test_window_memory_is_bounded():
     kept = [f.reid is not None for f in tr.frames]
     assert sum(kept) <= 3 + 1
     assert all(f.track_ids is not None for f in tr.frames)
+
+
+def test_precompute_short_asso_matches_per_pair():
+    """The batched short-term association call must reproduce the per-pair path
+    exactly (same ids frame by frame), including across empty frames."""
+    rng = np.random.RandomState(0)
+
+    def make_clip():
+        frames = []
+        for fi in range(6):
+            present = [t for t in range(4) if rng.rand() < 0.8]
+            embs = _embs(*present) + rng.randn(len(present), 8).astype(np.float32) * 0.01
+            frames.append(_frame(embs, pos=fi * 2.0))
+        return frames
+
+    for _ in range(4):
+        state = rng.get_state()
+        clip1 = make_clip()
+        rng.set_state(state)
+        clip2 = make_clip()
+        t1 = _mk_tracker()
+        t2 = _mk_tracker()
+        for det in clip1:
+            t1.step(det)
+        cache = t2.precompute_short_asso(list(zip(clip2[:-1], clip2[1:])))
+        for det in clip2:
+            t2.step(det, short_asso_cache=cache)
+        for f1, f2 in zip(t1.frames, t2.frames):
+            np.testing.assert_array_equal(f1.track_ids, f2.track_ids)
