@@ -18,6 +18,8 @@ Distances are 1 - polygon IoU (convex quadrilaterals, Sutherland-Hodgman clip).
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -162,6 +164,24 @@ def text_similarity(a: str, b: str) -> float:
     return 1.0 - levenshtein(a, b) / max(len(a), len(b), 1)
 
 
+_BOV_KEEP = re.compile(u"[^\u4e00-\u9fa5\u0030-\u0039\u0041-\u005a\u0061-\u007a]")
+
+
+def bovtext_similarity(a: str, b: str) -> float:
+    """The official BOVText cal_similarity (Task2 evaluation.py:67-74):
+    strings keep only [chinese | digits | ascii letters] lowercased; empty vs
+    empty scores 1.0; edit distance exactly 1 scores 0.95; else 1 - lev/maxlen.
+    """
+    a = _BOV_KEEP.sub("", a).lower()
+    b = _BOV_KEEP.sub("", b).lower()
+    if a == "" and b == "":
+        return 1.0
+    d = levenshtein(a, b)
+    if d == 1:
+        return 0.95
+    return 1.0 - d / max(len(a), len(b))
+
+
 def evaluate_detection(
     frames,
     iou_threshold: float = 0.5,
@@ -233,6 +253,8 @@ class MOTAccumulator:
     iou_threshold: float = 0.5
     # 1.0 = exact transcription match in e2e mode; <1.0 = similarity threshold
     text_sim_threshold: float = 1.0
+    # BOVText e2e gates pairs on its own similarity rule (see bovtext_similarity)
+    bovtext_text_rule: bool = False
     # The ArTVideo protocol feeds motmetrics dist = IoU (eval_trk.py:101-118),
     # so its Hungarian MINIMIZES IoU among above-threshold pairs; the other
     # protocols feed 1 - IoU (Track_video_2_0.py:275) and maximize. Protocol
@@ -276,10 +298,11 @@ class MOTAccumulator:
             # distance similarity >= text_sim_threshold instead.
             g_txt, h_txt = texts
             if self.text_sim_threshold < 1.0:
+                sim = bovtext_similarity if self.bovtext_text_rule else text_similarity
                 mism = np.asarray(
                     [
                         [
-                            text_similarity(g_txt[i], h_txt[j]) < self.text_sim_threshold
+                            sim(g_txt[i], h_txt[j]) < self.text_sim_threshold
                             for j in range(H)
                         ]
                         for i in range(G)

@@ -91,10 +91,32 @@ def parse_artvideo_json(path, only_curve: bool = False):
     return frames
 
 
+def parse_bovtext_json(path):
+    """BOVText per-video json: {frame_id: [{points(8), ID, transcription}]}
+    (Task1/tracking_utils/io.py read_text_results). Returns the same frame->
+    (ids, polys, texts) dict shape as parse_xml."""
+    import json as _json
+
+    with open(path, encoding="utf-8") as f:
+        data = _json.load(f)
+    frames = {}
+    for fid, objs in data.items():
+        ids, polys, txts = [], [], []
+        for o in objs:
+            ids.append(int(o["ID"]))
+            polys.append(np.asarray(o["points"], np.float64).reshape(4, 2))
+            # Task2 GT carries the track-level text as ID_transcription
+            # (Task2 evaluation.py:192-197); predictions use 'transcription'
+            txts.append(str(o.get("ID_transcription", o.get("transcription", ""))))
+        frames[int(fid)] = (ids, polys, txts)
+    return frames
+
+
 def evaluate_video(gt_frames, res_frames, iou_threshold=0.5, e2e=False, text_sim=1.0,
-                   match_lowest_iou=False):
+                   match_lowest_iou=False, bovtext_text_rule=False):
     acc = MOTAccumulator(iou_threshold=iou_threshold, text_sim_threshold=text_sim,
-                         match_lowest_iou=match_lowest_iou)
+                         match_lowest_iou=match_lowest_iou,
+                         bovtext_text_rule=bovtext_text_rule)
     for frame in sorted(gt_frames):
         g_ids, g_polys, g_txts = gt_frames[frame]
         h_ids, h_polys, h_txts = res_frames.get(frame, ([], [], []))
@@ -123,6 +145,76 @@ def evaluate_video(gt_frames, res_frames, iou_threshold=0.5, e2e=False, text_sim
     return acc
 
 
+def _merge_into(totals, acc, video):
+    """Merge one video's accumulator into the cross-video totals (per-video id
+    namespaces are kept distinct by scoping keys with the video name)."""
+    for f in (
+        "num_gt", "num_hyp", "num_matches", "num_switches", "num_fp", "num_misses"
+    ):
+        setattr(totals, f, getattr(totals, f) + getattr(acc, f))
+    totals.total_overlap += acc.total_overlap
+    for d_name in ("gt_frames", "hyp_frames", "pair_overlap", "gt_matched_frames"):
+        dst = getattr(totals, d_name)
+        for k, v in getattr(acc, d_name).items():
+            kk = (video, k) if not isinstance(k, tuple) else (video, k[0], k[1])
+            dst[kk] = v
+
+
+def _fix_pair_keys(totals):
+    # rebuild pair_overlap into the ((video,gt),(video,hyp)) tuple-key form
+    fixed = {}
+    for k, v in totals.pair_overlap.items():
+        fixed[((k[0], k[1]), (k[0], k[2]))] = v
+    totals.pair_overlap = fixed
+
+
+def _print_summary(per_video, totals):
+    _fix_pair_keys(totals)
+    m = totals.metrics()
+    print(f"{'video':<28} {'MOTA':>7} {'MOTP':>7} {'IDF1':>7} {'IDSW':>5} {'FP':>6} {'FN':>6}")
+    for v, mm in per_video.items():
+        print(
+            f"{v:<28} {mm['MOTA'] * 100:>6.2f}% {mm['MOTP'] * 100:>6.2f}% "
+            f"{mm['IDF1'] * 100:>6.2f}% {mm['IDSW']:>5} {mm['FP']:>6} {mm['FN']:>6}"
+        )
+    print("-" * 70)
+    print(
+        f"{'OVERALL':<28} {m['MOTA'] * 100:>6.2f}% {m['MOTP'] * 100:>6.2f}% "
+        f"{m['IDF1'] * 100:>6.2f}% {m['IDSW']:>5} {m['FP']:>6} {m['FN']:>6}"
+    )
+    return m
+
+
+def bovtext_main(args):
+    """BOVText Task1 (tracking) / Task2 (--e2e spotting) scoring
+    (Evaluation_Protocol_BOV_Text/*/evaluation.py parity: per-video
+    accumulators, dist = IoU with 0.5 threshold, ignore filtering, OVERALL =
+    merged accumulators)."""
+    totals = MOTAccumulator(iou_threshold=args.iou)
+    per_video = {}
+    gt_files = []
+    for cls in sorted(os.listdir(args.gt)):
+        cls_dir = os.path.join(args.gt, cls)
+        if os.path.isdir(cls_dir):
+            for v in sorted(os.listdir(cls_dir)):
+                if v.endswith(".json"):
+                    gt_files.append((v[:-5], os.path.join(cls_dir, v)))
+        elif cls.endswith(".json"):
+            gt_files.append((cls[:-5], os.path.join(args.gt, cls)))
+    for video, gt_path in gt_files:
+        gt_frames = parse_bovtext_json(gt_path)
+        res_path = os.path.join(args.res, f"{video}.json")
+        res_frames = parse_bovtext_json(res_path) if os.path.exists(res_path) else {}
+        acc = evaluate_video(
+            gt_frames, res_frames, args.iou, args.e2e,
+            text_sim=0.9 if args.e2e else 1.0,
+            match_lowest_iou=True, bovtext_text_rule=True,
+        )
+        per_video[video] = acc.metrics()
+        _merge_into(totals, acc, video)
+    _print_summary(per_video, totals)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gt", required=True, help="directory of GT xml (one per video)")
@@ -145,7 +237,16 @@ def main():
         action="store_true",
         help="ArTVideo curved-text-only protocol: straight GT becomes don't-care",
     )
+    ap.add_argument(
+        "--bovtext",
+        action="store_true",
+        help="BOVText protocol: GT tree <gt>/<Cls*>/<video>.json, results "
+        "<res>/<video>.json, dist=IoU matching, '###'/'#1' ignore regions, "
+        "and (with --e2e) the official cal_similarity>=0.9 transcription gate",
+    )
     args = ap.parse_args()
+    if args.bovtext:
+        return bovtext_main(args)
 
     totals = MOTAccumulator(iou_threshold=args.iou)
     per_video = {}
@@ -179,24 +280,7 @@ def main():
         acc = evaluate_video(gt_frames, res_frames, args.iou, args.e2e, args.text_sim,
                              match_lowest_iou=artvideo)
         per_video[video] = acc.metrics()
-        # accumulate into totals (merge counters)
-        for f in (
-            "num_gt", "num_hyp", "num_matches", "num_switches", "num_fp", "num_misses"
-        ):
-            setattr(totals, f, getattr(totals, f) + getattr(acc, f))
-        totals.total_overlap += acc.total_overlap
-        for d_name in ("gt_frames", "hyp_frames", "pair_overlap", "gt_matched_frames"):
-            dst = getattr(totals, d_name)
-            for k, v in getattr(acc, d_name).items():
-                kk = (video, k) if not isinstance(k, tuple) else (video, k[0], k[1])
-                dst[kk] = v
-        # fix pair_overlap keys: needs (gt,hyp) tuple keys scoped per video
-    # rebuild pair_overlap into tuple-key form the metrics expect
-    fixed = {}
-    for k, v in totals.pair_overlap.items():
-        # k == (video, gt_id, hyp_id)
-        fixed[((k[0], k[1]), (k[0], k[2]))] = v
-    totals.pair_overlap = fixed
+        _merge_into(totals, acc, video)
 
     if args.det:
         d = evaluate_detection(det_frames, args.iou)
@@ -207,18 +291,7 @@ def main():
         )
         return
 
-    m = totals.metrics()
-    print(f"{'video':<28} {'MOTA':>7} {'MOTP':>7} {'IDF1':>7} {'IDSW':>5} {'FP':>6} {'FN':>6}")
-    for v, mm in per_video.items():
-        print(
-            f"{v:<28} {mm['MOTA'] * 100:>6.2f}% {mm['MOTP'] * 100:>6.2f}% "
-            f"{mm['IDF1'] * 100:>6.2f}% {mm['IDSW']:>5} {mm['FP']:>6} {mm['FN']:>6}"
-        )
-    print("-" * 70)
-    print(
-        f"{'OVERALL':<28} {m['MOTA'] * 100:>6.2f}% {m['MOTP'] * 100:>6.2f}% "
-        f"{m['IDF1'] * 100:>6.2f}% {m['IDSW']:>5} {m['FP']:>6} {m['FN']:>6}"
-    )
+    _print_summary(per_video, totals)
 
 
 if __name__ == "__main__":
