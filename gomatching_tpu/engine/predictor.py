@@ -107,20 +107,37 @@ class VideoPredictor:
             lambda p, imgs, hw: self.model.apply(p, imgs, hw, method=GoMatchingModel.spot_and_detect)
         )
         self._raw_spot_fns = {}  # (in_h, in_w) -> jitted uint8-raw-frames spot fn
-        self._assoc_short = jax.jit(
-            lambda p, toks, valid: self.model.apply(
-                p, toks, valid, True, method=GoMatchingModel.associate
+        use_pos = not cfg.MODEL.ASSO_HEAD.NO_POS_EMB
+        if use_pos:
+            self._assoc_short = jax.jit(
+                lambda p, toks, valid, bx, tm: self.model.apply(
+                    p, toks, valid, True, False, bx, tm, method=GoMatchingModel.associate
+                )
             )
-        )
-        self._assoc_long = jax.jit(
-            lambda p, toks, valid: self.model.apply(
-                p, toks, valid, False, method=GoMatchingModel.associate
+            self._assoc_long = jax.jit(
+                lambda p, toks, valid, bx, tm: self.model.apply(
+                    p, toks, valid, False, False, bx, tm, method=GoMatchingModel.associate
+                )
             )
-        )
 
-        def associate_fn(tokens, valid, short_term):
-            fn = self._assoc_short if short_term else self._assoc_long
-            return fn(self.params, tokens, valid)
+            def associate_fn(tokens, valid, short_term, boxes=None, times=None):
+                fn = self._assoc_short if short_term else self._assoc_long
+                return fn(self.params, tokens, valid, boxes, times)
+        else:
+            self._assoc_short = jax.jit(
+                lambda p, toks, valid: self.model.apply(
+                    p, toks, valid, True, method=GoMatchingModel.associate
+                )
+            )
+            self._assoc_long = jax.jit(
+                lambda p, toks, valid: self.model.apply(
+                    p, toks, valid, False, method=GoMatchingModel.associate
+                )
+            )
+
+            def associate_fn(tokens, valid, short_term):
+                fn = self._assoc_short if short_term else self._assoc_long
+                return fn(self.params, tokens, valid)
 
         v = cfg.VIDEO_TEST
         self.tracker = Tracker(
@@ -132,6 +149,8 @@ class VideoPredictor:
             decay_time=v.DECAY_TIME,
             with_iou=v.WITH_IOU,
             not_mult_thresh=v.NOT_MULT_THRESH,
+            use_pos_emb=use_pos,
+            with_temp_emb=cfg.MODEL.ASSO_HEAD.WITH_TEMP_EMB,
         )
 
     def _load_or_init(self, cfg):

@@ -65,6 +65,8 @@ class GoMatchingModel(nn.Module):
     roi_head_variant: str = "lst"  # "lst" (GoMatching) | "shared" (GoMatching++)
     with_rescore: bool = True
     asso_dropout: float = 0.0
+    asso_no_pos_emb: bool = True
+    asso_with_temp_emb: bool = False
     swin_type: str = "tiny"
     # inference thresholds
     test_score_threshold: float = 0.3
@@ -123,6 +125,8 @@ class GoMatchingModel(nn.Module):
             variant=self.roi_head_variant,
             with_rescore=self.with_rescore,
             dropout_rate=self.asso_dropout,
+            no_pos_emb=self.asso_no_pos_emb,
+            with_temp_emb=self.asso_with_temp_emb,
             name="roi_heads",
         )
 
@@ -232,9 +236,11 @@ class GoMatchingModel(nn.Module):
             hw = image_hw.astype(jnp.float32)
         return self.detect(out, hw, score_thresh)
 
-    def associate(self, reid_tokens, valid, short_term: bool, train: bool = False):
+    def associate(self, reid_tokens, valid, short_term: bool, train: bool = False,
+                  boxes=None, times=None):
         """Padded association transformer pass (see LSTMatcherHead.associate)."""
-        return self.tracker.associate(reid_tokens, valid, short_term, train)
+        return self.tracker.associate(reid_tokens, valid, short_term, train,
+                                      boxes=boxes, times=times)
 
     # thin method aliases used by the training engine
     def rescore_features(self, query_features):
@@ -243,8 +249,10 @@ class GoMatchingModel(nn.Module):
     def reid_features(self, query_features):
         return self.tracker.reid(query_features)
 
-    def associate_tokens(self, tokens, valid, short_term: bool, train: bool = False):
-        return self.tracker.associate(tokens, valid, short_term, train)
+    def associate_tokens(self, tokens, valid, short_term: bool, train: bool = False,
+                         boxes=None, times=None):
+        return self.tracker.associate(tokens, valid, short_term, train,
+                                      boxes=boxes, times=times)
 
     def __call__(self, images, image_hw=None):
         """Full forward touching every submodule (also the init path)."""

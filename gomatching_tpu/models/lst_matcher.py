@@ -79,16 +79,18 @@ class MatcherEncoderLayer(nn.Module):
     dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, src, valid: Optional[jnp.ndarray] = None, deterministic: bool = True):
+    def __call__(self, src, valid: Optional[jnp.ndarray] = None, deterministic: bool = True,
+                 pos: Optional[jnp.ndarray] = None):
         key_mask = None if valid is None else ~valid
         drop = lambda x: (
             nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
             if self.dropout_rate > 0.0
             else x
         )
+        qk = src if pos is None else src + pos  # with_pos_embed, transformer.py:196
         attn = MultiHeadAttention(
             self.num_heads, dropout_rate=self.dropout_rate, name="self_attn"
-        )(src, src, src, key_mask, deterministic=deterministic)
+        )(qk, qk, src, key_mask, deterministic=deterministic)
         src = src + drop(attn)
         if self.with_norm:
             src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
@@ -113,16 +115,19 @@ class MatcherDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, valid: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, pos: Optional[jnp.ndarray] = None):
         key_mask = None if valid is None else ~valid
         drop = lambda x: (
             nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
             if self.dropout_rate > 0.0
             else x
         )
+        # query carries no pos (query_pos is None in the matchers); keys do
+        # (transformer.py:277-279)
+        keys = memory if pos is None else memory + pos
         attn = MultiHeadAttention(
             self.num_heads, dropout_rate=self.dropout_rate, name="cross_attn"
-        )(tgt, memory, memory, key_mask, deterministic=deterministic)
+        )(tgt, keys, memory, key_mask, deterministic=deterministic)
         tgt = tgt + drop(attn)
         if self.with_norm:
             tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
@@ -150,14 +155,14 @@ class MatcherTransformer(nn.Module):
     @nn.compact
     def __call__(
         self, tokens: jnp.ndarray, valid: Optional[jnp.ndarray] = None,
-        deterministic: bool = True,
+        deterministic: bool = True, pos: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         memory = tokens
         for i in range(self.num_encoder_layers):
             memory = MatcherEncoderLayer(
                 self.num_heads, self.feature_dim, self.with_norm,
                 dropout_rate=self.dropout_rate, name=f"enc_{i}"
-            )(memory, valid, deterministic=deterministic)
+            )(memory, valid, deterministic=deterministic, pos=pos)
         # decoder targets are the RAW input rows, not the encoder output
         # (transformer.py:80-84: tgt = src[query_inds] with src pre-encoder)
         tgt = tokens
@@ -169,7 +174,7 @@ class MatcherTransformer(nn.Module):
                 with_norm=self.with_norm,
                 dropout_rate=self.dropout_rate,
                 name=f"dec_{i}",
-            )(tgt, memory, valid, deterministic=deterministic)
+            )(tgt, memory, valid, deterministic=deterministic, pos=pos)
         return tgt, memory
 
 
@@ -192,6 +197,12 @@ class LSTMatcherHead(nn.Module):
     with_rescore: bool = True
     with_norm: bool = False
     dropout_rate: float = 0.0
+    # box/temporal interpolated positional embeddings (lstmatcher.py:498-532);
+    # every shipped YAML sets NO_POS_EMB=True so these default off
+    no_pos_emb: bool = True
+    with_temp_emb: bool = False
+    learn_pos_emb_num: int = 16
+    learn_temp_emb_num: int = 16
 
     def setup(self):
         self.asso_head = ReidHead(self.feature_dim, self.num_fc, name="asso_head")
@@ -229,6 +240,18 @@ class LSTMatcherHead(nn.Module):
             )
         else:
             raise ValueError(f"unknown matcher variant: {self.variant}")
+        if not self.no_pos_emb:
+            self.pos_emb = self.param(
+                "pos_emb",
+                nn.initializers.normal(1.0),
+                (self.learn_pos_emb_num * 4, self.feature_dim // 4),
+            )
+            if self.with_temp_emb:
+                self.temp_emb = self.param(
+                    "temp_emb",
+                    nn.initializers.normal(1.0),
+                    (self.learn_temp_emb_num, self.feature_dim),
+                )
         self.asso_predictor = AffinityHead(
             self.feature_dim, self.num_weight_layers, name="asso_predictor"
         )
@@ -244,16 +267,54 @@ class LSTMatcherHead(nn.Module):
         """(.., npts, C) -> (.., feature_dim) reid embedding."""
         return self.asso_head(query_features)
 
-    def associate(self, reid_tokens, valid, short_term: bool, train: bool = False):
+    def box_pe(self, boxes):
+        """Bilinearly-interpolated learned box embedding (lstmatcher.py:498-518).
+        ``boxes``: (..., 4) xyxy normalized to [0, 1] -> (..., F)."""
+        T = self.learn_pos_emb_num
+        xywh = jnp.concatenate(
+            [(boxes[..., 2:] + boxes[..., :2]) / 2, boxes[..., 2:] - boxes[..., :2]],
+            axis=-1,
+        ) * T  # (..., 4)
+        l = jnp.clip(jnp.floor(xywh), 0, T - 1).astype(jnp.int32)
+        r = jnp.clip(l + 1, 0, T - 1)
+        lw = xywh - l.astype(xywh.dtype)
+        rw = 1.0 - lw
+        table = self.pos_emb.reshape(T, 4, -1)  # (T, 4, F//4)
+        four = jnp.arange(4)
+        pos_le = table[l, four]  # (..., 4, F//4)
+        pos_re = table[r, four]
+        out = lw[..., None] * pos_re + rw[..., None] * pos_le
+        return out.reshape(*boxes.shape[:-1], -1)
+
+    def temp_pe(self, times):
+        """Interpolated temporal embedding (lstmatcher.py:521-532). ``times``:
+        (...,) in [0, 1] (frame index / window length) -> (..., F)."""
+        T = self.learn_temp_emb_num
+        t = times * T
+        l = jnp.clip(jnp.floor(t), 0, T - 1).astype(jnp.int32)
+        r = jnp.clip(l + 1, 0, T - 1)
+        lw = t - l.astype(t.dtype)
+        return lw[..., None] * self.temp_emb[r] + (1.0 - lw[..., None]) * self.temp_emb[l]
+
+    def associate(self, reid_tokens, valid, short_term: bool, train: bool = False,
+                  boxes=None, times=None):
         """(B, N, F) padded reid tokens + (B, N) validity -> (B, N, N) affinity logits.
 
         ``train=True`` enables ASSO_HEAD.DROPOUT in the matcher layers (needs a
-        'dropout' rng); inference stays deterministic."""
+        'dropout' rng); inference stays deterministic. With NO_POS_EMB=False,
+        ``boxes`` (B, N, 4 normalized xyxy) and (if WITH_TEMP_EMB) ``times``
+        (B, N in [0,1]) feed the interpolated embeddings
+        (_forward_transformer, lstmatcher.py:338-346)."""
+        pos = None
+        if not self.no_pos_emb and boxes is not None:
+            pos = self.box_pe(boxes)
+            if self.with_temp_emb and times is not None:
+                pos = (pos + self.temp_pe(times)) / 2.0
         if self.variant == "lst":
             matcher = self.short_term_matcher if short_term else self.long_term_matcher
         else:
             matcher = self.shared_matcher
-        tgt, memory = matcher(reid_tokens, valid, deterministic=not train)
+        tgt, memory = matcher(reid_tokens, valid, deterministic=not train, pos=pos)
         predictor = self.local_asso_predictor if short_term else self.asso_predictor
         return predictor(tgt, memory)
 

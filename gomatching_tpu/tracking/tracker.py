@@ -88,6 +88,8 @@ class Tracker:
         decay_time: float = -1.0,
         with_iou: bool = True,
         not_mult_thresh: bool = True,
+        use_pos_emb: bool = False,
+        with_temp_emb: bool = False,
     ):
         self.associate_fn = associate_fn
         self.test_len = test_len
@@ -97,6 +99,10 @@ class Tracker:
         self.decay_time = decay_time
         self.with_iou = with_iou
         self.not_mult_thresh = not_mult_thresh
+        # NO_POS_EMB=False configs: associate_fn takes (tokens, valid, short,
+        # boxes, times) with normalized boxes + frame-time fractions
+        self.use_pos_emb = use_pos_emb
+        self.with_temp_emb = with_temp_emb
         self.reset()
 
     def reset(self):
@@ -115,7 +121,13 @@ class Tracker:
         padded[0, :N] = feats
         valid = np.zeros((1, npad), bool)
         valid[0, :N] = True
-        logits = np.asarray(self.associate_fn(padded, valid, short_term))[0, :N, :N]
+        if self.use_pos_emb:
+            boxes, times = self._pos_inputs(frames, npad)
+            logits = np.asarray(
+                self.associate_fn(padded, valid, short_term, boxes[None], times[None])
+            )[0, :N, :N]
+        else:
+            logits = np.asarray(self.associate_fn(padded, valid, short_term))[0, :N, :N]
         k_start = N - n_t[-1]
         rows = logits[k_start:N]
         return activate_asso(rows, n_t)
@@ -179,6 +191,25 @@ class Tracker:
         return track_ids
 
     # ------------------------------------------------------------------
+    def _pos_inputs(self, frames, npad):
+        """Padded normalized boxes + time fractions for the pos-embedding path
+        (_get_boxes_time, lstmatcher.py:478-495: x/w, y/h; time = t/T)."""
+        T = len(frames)
+        boxes = np.zeros((npad, 4), np.float32)
+        times = np.zeros((npad,), np.float32)
+        off = 0
+        for t, f in enumerate(frames):
+            n = len(f)
+            if n:
+                h, w = f.image_hw
+                b = f.boxes.astype(np.float32).copy()
+                b[:, [0, 2]] /= w
+                b[:, [1, 3]] /= h
+                boxes[off : off + n] = b
+                times[off : off + n] = t / T
+            off += n
+        return boxes, times
+
     def precompute_short_asso(self, pairs: List[tuple]):
         """Batch ALL adjacent-pair short-term matcher passes into ONE device call.
 
@@ -199,7 +230,12 @@ class Tracker:
             f = np.concatenate([p.reid, c.reid], axis=0).astype(np.float32)
             feats[i, : len(f)] = f
             valid[i, : len(f)] = True
-        logits = np.asarray(self.associate_fn(feats, valid, True))
+        if self.use_pos_emb:
+            boxes = np.stack([self._pos_inputs([p, c], npad)[0] for p, c in pairs])
+            times = np.stack([self._pos_inputs([p, c], npad)[1] for p, c in pairs])
+            logits = np.asarray(self.associate_fn(feats, valid, True, boxes, times))
+        else:
+            logits = np.asarray(self.associate_fn(feats, valid, True))
         cache = {}
         for i, (p, c) in enumerate(pairs):
             n_t = [len(p), len(c)]

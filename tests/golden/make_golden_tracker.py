@@ -59,7 +59,10 @@ TRACK_KW = dict(
 def build_roi_heads(variant: str, seed: int):
     cfg = tiny_cfg()
     torch.manual_seed(seed)
-    if variant == "lst":
+    if variant in ("lst", "lstpe"):
+        if variant == "lstpe":  # box + temporal positional embeddings active
+            cfg.MODEL.ASSO_HEAD.NO_POS_EMB = False
+            cfg.MODEL.ASSO_HEAD.WITH_TEMP_EMB = True
         obj = LST_MOD.LSTMatcher.__new__(LST_MOD.LSTMatcher)
         nn.Module.__init__(obj)
         obj._init_asso_head(cfg)
@@ -216,7 +219,7 @@ def main():
     out = {}
     dump_detection(out, seed=3)
 
-    for variant in ("lst", "shared"):
+    for variant in ("lst", "shared", "lstpe"):
         roi, cfg = build_roi_heads(variant, seed=7)
         gom = build_gom(roi, cfg)
         rng = np.random.RandomState(11)

@@ -52,6 +52,9 @@ def _head_and_params(golden, variant):
     cfg = tiny_cfg()
     if variant == "shared":
         cfg.MODEL.ROI_HEADS.NAME = "SHA_FFN_CRSATTN"
+    if variant == "lstpe":
+        cfg.MODEL.ASSO_HEAD.NO_POS_EMB = False
+        cfg.MODEL.ASSO_HEAD.WITH_TEMP_EMB = True
     pre = f"trk.{variant}.sd."
     sd = {k[len(pre) :]: golden[k] for k in golden.files if k.startswith(pre)}
     tree, missing, unused = convert(sd, cfg)
@@ -72,30 +75,37 @@ def _head_and_params(golden, variant):
         variant={"LSTMatcher": "lst", "SHA_FFN_CRSATTN": "shared"}[
             cfg.MODEL.ROI_HEADS.NAME
         ],
+        no_pos_emb=cfg.MODEL.ASSO_HEAD.NO_POS_EMB,
+        with_temp_emb=cfg.MODEL.ASSO_HEAD.WITH_TEMP_EMB,
     )
     return head, {"params": tree["params"]["roi_heads"]}
 
 
-@pytest.mark.parametrize("variant", ["lst", "shared"])
+@pytest.mark.parametrize("variant", ["lst", "shared", "lstpe"])
 def test_tracking_matches_reference(golden, variant):
     from gomatching_tpu.models.lst_matcher import LSTMatcherHead
     from gomatching_tpu.tracking.tracker import FrameDetections, Tracker
 
     head, params = _head_and_params(golden, variant)
+    use_pos = variant == "lstpe"
 
-    def associate_fn(tokens, valid, short_term):
+    def associate_fn(tokens, valid, short_term, boxes=None, times=None):
         return head.apply(
             params,
             jnp.asarray(tokens),
             jnp.asarray(valid),
             short_term,
+            False,
+            None if boxes is None else jnp.asarray(boxes),
+            None if times is None else jnp.asarray(times),
             method=LSTMatcherHead.associate,
         )
 
     def reid_fn(qf):
         return np.asarray(head.apply(params, jnp.asarray(qf), method=LSTMatcherHead.reid))
 
-    tracker = Tracker(associate_fn, **TRACK_KW)
+    tracker = Tracker(associate_fn, use_pos_emb=use_pos, with_temp_emb=use_pos,
+                      **TRACK_KW)
     p = f"trk.{variant}"
     n_frames = len([k for k in golden.files if k.startswith(f"{p}.in.qf")])
     for fi in range(n_frames):

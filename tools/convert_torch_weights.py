@@ -196,6 +196,10 @@ def build_key_map(cfg) -> Dict[str, tuple]:
         _linear(m, f"{r}.asso_head.fc{i + 1}", r, f"asso_head/fc{i + 1}")
     if cfg.MODEL.ROI_HEADS.WITH_RESR:
         _linear(m, f"{r}.rescoring_head", r, "rescoring_head")
+    if not cfg.MODEL.ASSO_HEAD.NO_POS_EMB:
+        m[f"{r}.pos_emb.weight"] = ("copy", (r, "pos_emb"))
+        if cfg.MODEL.ASSO_HEAD.WITH_TEMP_EMB:
+            m[f"{r}.temp_emb.weight"] = ("copy", (r, "temp_emb"))
     nwl = cfg.MODEL.ASSO_HEAD.NUM_WEIGHT_LAYERS
     if nwl > 0:
         for pred in ("asso_predictor", "local_asso_predictor"):
