@@ -4,9 +4,10 @@ Parity: adet's TextEvaluator family (third_party/adet/evaluation/
 text_evaluation_all.py): per-image detection HMean and end-to-end word
 spotting (a detection counts only when its transcription matches the GT word,
 case-insensitive), with optional lexicon correction — an OCR word is replaced
-by the nearest lexicon entry by edit distance when within the acceptance
-ratio, the standard RRC "weighted editdistance" protocol simplified to plain
-edit distance.
+by the nearest lexicon entry by UPPERCASED plain edit distance, accepted when
+the distance is < 1.5 (find_match_word, text_evaluation_all.py:249-264,331-333
+— this fork uses editdistance.eval directly, not the older RRC
+weighted-editdistance variant).
 """
 
 from __future__ import annotations
@@ -19,18 +20,20 @@ from .mot_metrics import evaluate_detection, levenshtein, poly_iou_matrix
 from ..ops.hungarian import solve
 
 
-def lexicon_correct(word: str, lexicon: Sequence[str], max_ratio: float = 0.5) -> str:
-    """Replace ``word`` by its nearest lexicon entry when the edit distance is
-    within ``max_ratio`` of the word length; otherwise keep it."""
+def lexicon_correct(word: str, lexicon: Sequence[str], max_dist: float = 1.5) -> str:
+    """Replace ``word`` by its nearest lexicon entry (uppercased plain edit
+    distance) when the minimum distance is < ``max_dist`` — the reference's
+    find_match_word + its `match_dist < 1.5` acceptance
+    (text_evaluation_all.py:249-264, :331-333)."""
     if not lexicon:
         return word
-    best, best_d = word, len(word) + 1
-    wl = word.lower()
+    best, best_d = word, len(word) + 100
+    wu = word.upper()
     for cand in lexicon:
-        d = levenshtein(wl, cand.lower())
+        d = levenshtein(wu, cand.upper())
         if d < best_d:
             best, best_d = cand, d
-    if best_d <= max_ratio * max(len(word), 1):
+    if best_d < max_dist:
         return best
     return word
 

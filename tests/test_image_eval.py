@@ -23,11 +23,14 @@ def test_e2e_requires_transcription_match():
 def test_lexicon_correction_rescues_near_miss():
     from gomatching_tpu.evaluation.image_eval import evaluate_image_spotting, lexicon_correct
 
-    assert lexicon_correct("wrold", ["world", "hello"]) == "world"
+    # reference acceptance: plain UPPERCASED edit distance < 1.5
+    # (find_match_word + match_dist check, text_evaluation_all.py:249-264,331)
+    assert lexicon_correct("worl", ["world", "hello"]) == "world"  # d=1
+    assert lexicon_correct("wrold", ["world", "hello"]) == "wrold"  # d=2: kept
     assert lexicon_correct("zzzzz", ["world", "hello"]) == "zzzzz"  # too far
 
     per_image = [
-        ([_sq(0, 0)], ["world"], [_sq(0, 0)], ["wrold"]),
+        ([_sq(0, 0)], ["world"], [_sq(0, 0)], ["worl"]),
     ]
     assert evaluate_image_spotting(per_image)["e2e_hmean"] == 0.0
     assert evaluate_image_spotting(per_image, lexicon=["world"])["e2e_hmean"] == 1.0
