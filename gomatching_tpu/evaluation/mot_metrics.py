@@ -118,6 +118,53 @@ def polygon_iou(p1: np.ndarray, p2: np.ndarray) -> float:
     return ai / (a1 + a2 - ai)
 
 
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull of (n, 2) points (CCW)."""
+    pts = np.asarray(pts, np.float64)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    P = [tuple(pts[i]) for i in order]
+    uniq = []
+    for q in P:
+        if not uniq or uniq[-1] != q:
+            uniq.append(q)
+    if len(uniq) <= 2:
+        return np.asarray(uniq, np.float64)
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower, upper = [], []
+    for q in uniq:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], q) <= 0:
+            lower.pop()
+        lower.append(q)
+    for q in reversed(uniq):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], q) <= 0:
+            upper.pop()
+        upper.append(q)
+    return np.asarray(lower[:-1] + upper[:-1], np.float64)
+
+
+def intersection_over_det(det_poly: np.ndarray, gt_poly: np.ndarray) -> float:
+    """intersection(hull(det), hull(gt)) / area(hull(det)) — the official
+    DSText/ICDAR15 don't-care overlap test (overlapping_fn,
+    Track_video_2_0.py:411-422)."""
+    pd = convex_hull(np.asarray(det_poly, np.float64).reshape(-1, 2))
+    pg = convex_hull(np.asarray(gt_poly, np.float64).reshape(-1, 2))
+    if len(pd) < 3 or len(pg) < 3:
+        return 0.0
+    ad = _poly_area(pd)
+    if ad <= 0 or _poly_area(pg) <= 0:
+        return 0.0
+    inter = _ccw(pd)
+    clip = _ccw(pg)
+    for i in range(len(clip)):
+        inter = _clip_poly(inter, clip[i], clip[(i + 1) % len(clip)])
+        if len(inter) == 0:
+            return 0.0
+    return _poly_area(inter) / ad
+
+
 def quad_iou_matrix(gt_quads: np.ndarray, hyp_quads: np.ndarray) -> np.ndarray:
     """(G, 8) x (H, 8) -> (G, H) IoU matrix."""
     G, H = len(gt_quads), len(hyp_quads)
@@ -253,8 +300,15 @@ class MOTAccumulator:
     iou_threshold: float = 0.5
     # 1.0 = exact transcription match in e2e mode; <1.0 = similarity threshold
     text_sim_threshold: float = 1.0
-    # BOVText e2e gates pairs on its own similarity rule (see bovtext_similarity)
-    bovtext_text_rule: bool = False
+    # e2e transcription rule: 'sim' (plain normalized-edit-distance similarity
+    # >= text_sim_threshold; == exact match at threshold 1.0), 'bovtext'
+    # (bovtext_similarity >= threshold), 'icdar' (track-level equality after
+    # the official normalization: det.upper() == strip-to-[chinese|alnum](gt
+    # .upper()), E2E_video_2_0.py:364-368)
+    text_rule: str = "sim"
+    # official ICDAR/DSText validity is STRICTLY iou > threshold
+    # (Track_video_2_0.py:275 'if distance>0.5'); the other protocols use >=
+    strict_threshold: bool = False
     # The ArTVideo protocol feeds motmetrics dist = IoU (eval_trk.py:101-118),
     # so its Hungarian MINIMIZES IoU among above-threshold pairs; the other
     # protocols feed 1 - IoU (Track_video_2_0.py:275) and maximize. Protocol
@@ -297,8 +351,13 @@ class MOTAccumulator:
             # ICDAR protocols; the BOVText protocol accepts normalized-edit-
             # distance similarity >= text_sim_threshold instead.
             g_txt, h_txt = texts
-            if self.text_sim_threshold < 1.0:
-                sim = bovtext_similarity if self.bovtext_text_rule else text_similarity
+            if self.text_rule == "icdar":
+                norm_g = [_BOV_KEEP.sub("", t.upper()).upper() for t in g_txt]
+                mism = np.asarray(
+                    [[h_txt[j].upper() != norm_g[i] for j in range(H)] for i in range(G)]
+                )
+            elif self.text_sim_threshold < 1.0:
+                sim = bovtext_similarity if self.text_rule == "bovtext" else text_similarity
                 mism = np.asarray(
                     [
                         [
@@ -313,7 +372,9 @@ class MOTAccumulator:
                     [[g_txt[i] != h_txt[j] for j in range(H)] for i in range(G)]
                 )
             iou = np.where(mism, 0.0, iou)
-        valid = iou >= self.iou_threshold
+        valid = (
+            iou > self.iou_threshold if self.strict_threshold else iou >= self.iou_threshold
+        )
 
         # id-level matchable counts for IDF1
         for i in range(G):

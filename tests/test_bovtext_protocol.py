@@ -211,7 +211,7 @@ def _run_ours(gt, res, e2e):
 
     acc = evaluate_video(
         to_frames(gt), to_frames(res), iou_threshold=0.5, e2e=e2e,
-        text_sim=0.9 if e2e else 1.0, match_lowest_iou=True, bovtext_text_rule=True,
+        text_sim=0.9 if e2e else 1.0, match_lowest_iou=True, text_rule="bovtext",
     )
     return acc.metrics()
 

@@ -1,0 +1,211 @@
+"""Cross-validate our ICDAR15-video / DSText scoring against the OFFICIAL
+protocol scripts.
+
+Runs the reference's Track_video_2_0.py (tracking) and E2E_video_2_0.py
+(end-to-end spotting with track-level transcriptions) VERBATIM on synthetic
+submission zips, with facades for the absent Polygon2 / lxml packages (the
+geometry facade re-derives convex hull + clip + shoelace area exactly).
+Our evaluate_video_icdar must reproduce every per-video metric
+(MOTA/MOTP/IDF1/SW/FP/MS/MOTAN) and the official macro-averaged overall.
+"""
+
+import importlib.util
+import sys
+import types
+import zipfile
+
+import numpy as np
+import pytest
+
+DST = "/root/reference/tools/Evaluation_Protocol_DSText"
+
+sys.path.insert(0, "tools")
+
+from gomatching_tpu.evaluation.mot_metrics import _ccw, _clip_poly, _poly_area, convex_hull
+
+
+class _Poly:
+    """Polygon2 facade: the subset Track_video_2_0.py:375-437 touches."""
+
+    def __init__(self, pts):
+        self._pts = np.asarray(pts, np.float64).reshape(-1, 2)
+
+    def area(self):
+        return _poly_area(self._pts) if len(self._pts) >= 3 else 0.0
+
+    def __len__(self):  # number of contours
+        return 1 if len(self._pts) >= 3 else 0
+
+    def __and__(self, other):
+        if len(self._pts) < 3 or len(other._pts) < 3:
+            return _Poly(np.zeros((0, 2)))
+        inter = _ccw(self._pts)
+        clip = _ccw(other._pts)
+        for i in range(len(clip)):
+            inter = _clip_poly(inter, clip[i], clip[(i + 1) % len(clip)])
+            if len(inter) == 0:
+                break
+        return _Poly(inter)
+
+
+def _convex_hull_poly(p):
+    return _Poly(convex_hull(p._pts))
+
+
+@pytest.fixture(scope="module")
+def official():
+    if not hasattr(np, "float"):
+        np.float = float  # noqa: NPY001
+    plg = types.ModuleType("Polygon")
+    plg.Polygon = _Poly
+    utils = types.ModuleType("Polygon.Utils")
+    utils.convexHull = _convex_hull_poly
+    plg.Utils = utils
+    lxml = types.ModuleType("lxml")
+    lxml.etree = types.SimpleNamespace()
+    lev = types.ModuleType("Levenshtein")
+    from gomatching_tpu.evaluation.mot_metrics import levenshtein
+
+    lev.distance = levenshtein
+    sys.modules.update({"Polygon": plg, "Polygon.Utils": utils, "lxml": lxml,
+                        "Levenshtein": lev})
+    sys.modules.setdefault("xmltodict", types.ModuleType("xmltodict"))
+    # motmetrics: the DSText suite expects it installed; the reference vendors
+    # identical copies under the other protocol suites
+    sys.path.insert(0, "/root/reference/tools/Evaluation_Protocol_ArtVideo")
+
+    mods = {}
+    for sub, name in (("Evaluation_DSText_tracking/Track_video_2_0.py", "trk"),
+                      ("Evaluation_DSText_E2E/E2E_video_2_0.py", "e2e")):
+        path = f"{DST}/{sub.rsplit('/', 1)[0]}"
+        sys.path.insert(0, path)
+        spec = importlib.util.spec_from_file_location(name, f"{DST}/{sub}")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mods[name] = mod
+        sys.path.remove(path)
+    return mods
+
+
+# ---------------------------------------------------------------------------
+def _xml(frames):
+    out = ['<?xml version="1.0" encoding="UTF-8"?>', "<Frames>"]
+    for fid in sorted(frames):
+        out.append(f'<frame ID="{fid}">')
+        for oid, quad, txt in frames[fid]:
+            out.append(f'<object ID="{oid}" Transcription="{txt}">')
+            pts = np.asarray(quad).reshape(-1, 2)
+            for x, y in pts:
+                out.append(f'<Point x="{int(x)}" y="{int(y)}"/>')
+            out.append("</object>")
+        out.append("</frame>")
+    out.append("</Frames>")
+    return "\n".join(out)
+
+
+def _track_txt(d):
+    return "".join(f'"{k}","{v}"\n' for k, v in sorted(d.items()))
+
+
+def _quad(x, y, w=30, h=14):
+    return [x, y, x + w, y, x + w, y + h, x, y + h]
+
+
+def make_video(seed, n_frames=8):
+    rng = np.random.RandomState(seed)
+    words = {1: "HELLO", 2: "WORLD", 3: "TEXT", 4: "JAX"}
+    gt, res = {}, {}
+    gt_txt = dict(words)
+    det_txt = {}
+    for f in range(1, n_frames + 1):
+        g, r = [], []
+        for t in (1, 2, 3, 4):
+            if rng.rand() < 0.15:
+                continue
+            x, y = 10 + 90 * (t % 2) + 2 * f, 10 + 40 * (t // 3) + f
+            g.append((t, _quad(x, y), words[t]))
+            p = rng.rand()
+            if p < 0.65:
+                did = t if rng.rand() < 0.8 else 50 + t
+                det_txt.setdefault(did, words[t] if rng.rand() < 0.7 else words[t] + "X")
+                r.append((did, _quad(x + int(rng.randint(-2, 3)), y + int(rng.randint(-2, 3))),
+                          det_txt[did]))
+            elif p < 0.8:
+                det_txt.setdefault(t, words[t])
+                r.append((t, _quad(x + 60, y + 30), det_txt[t]))
+        # ignore region + a det inside it
+        g.append((99, _quad(200, 90), "###"))
+        if rng.rand() < 0.5:
+            det_txt.setdefault(77, "ZZZ")
+            r.append((77, _quad(202, 91), "ZZZ"))
+        gt[f] = g
+        res[f] = r
+    return gt, res, gt_txt, det_txt
+
+
+def _zips(tmp_path, videos, tag, with_txt):
+    """The tracking script's zips carry only XML; the E2E script's also carry
+    the per-track transcription txt files."""
+    gt_zip = tmp_path / f"gt_{tag}.zip"
+    sub_zip = tmp_path / f"sub_{tag}.zip"
+    with zipfile.ZipFile(gt_zip, "w") as zg, zipfile.ZipFile(sub_zip, "w") as zs:
+        for i, (gt, res, gt_txt, det_txt) in enumerate(videos, start=1):
+            zg.writestr(f"Video_{i}_1_1_GT.xml", _xml(gt))
+            zs.writestr(f"res_Video_{i}_1_1.xml", _xml(res))
+            if with_txt:
+                zg.writestr(f"Video_{i}_1_1_GT.txt", _track_txt(gt_txt))
+                zs.writestr(f"res_Video_{i}_1_1.txt", _track_txt(det_txt))
+    return str(gt_zip), str(sub_zip)
+
+
+def _ours(videos, e2e):
+    from eval_tracking import evaluate_video_icdar
+
+    per = []
+    for gt, res, gt_txt, det_txt in videos:
+        def frames(d):
+            return {
+                f: ([o[0] for o in objs],
+                    [np.asarray(o[1], np.float64) for o in objs],
+                    [o[2] for o in objs])
+                for f, objs in d.items()
+            }
+
+        per.append(evaluate_video_icdar(
+            frames(gt), frames(res), 0.5, e2e,
+            gt_track_texts=gt_txt if e2e else None,
+            det_track_texts=det_txt if e2e else None,
+        ))
+    return per
+
+
+@pytest.mark.parametrize("mode", ["trk", "e2e"])
+def test_matches_official_protocol(official, tmp_path, mode):
+    videos = [make_video(seed) for seed in (10, 11, 12)]
+    gt_zip, sub_zip = _zips(tmp_path, videos, mode, with_txt=(mode == "e2e"))
+    mod = official[mode]
+    ref = mod.evaluate_method(gt_zip, sub_zip, mod.default_evaluation_params())
+    ours = _ours(videos, e2e=(mode == "e2e"))
+
+    for i, m in enumerate(ours, start=1):
+        sample = ref["per_sample"][str(i)] if str(i) in ref["per_sample"] else (
+            ref["per_sample"][list(ref["per_sample"])[i - 1]]
+        )
+        assert m["IDSW"] == int(sample["SW"]), (i, m["IDSW"], sample["SW"])
+        assert m["FP"] == int(sample["FP"]), (i, m["FP"], sample["FP"])
+        assert m["FN"] == int(sample["MS"]), (i, m["FN"], sample["MS"])
+        np.testing.assert_allclose(m["MOTA"], sample["MOTA"], atol=1e-9)
+        np.testing.assert_allclose(m["MOTP"], sample["MOTP"], atol=1e-9)
+        np.testing.assert_allclose(m["IDF1"], sample["IDF1"], atol=1e-9)
+        np.testing.assert_allclose(m["MOTAN"], sample["MOTAN"], atol=1e-9)
+
+    n = len(ours)
+    np.testing.assert_allclose(
+        sum(m["MOTA"] for m in ours) / n, ref["method"]["MOTA"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        sum(m["MOTP"] for m in ours) / n, ref["method"]["MOTP"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        sum(m["IDF1"] for m in ours) / n, ref["method"]["IDF1"], atol=1e-9
+    )

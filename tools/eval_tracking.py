@@ -27,11 +27,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from gomatching_tpu.evaluation.mot_metrics import (
     MOTAccumulator,
     evaluate_detection,
+    intersection_over_det,
     poly_iou_matrix,
 )
 
 
-def parse_xml(path, only_curve: bool = False):
+def parse_xml(path, only_curve: bool = False, int_coords: bool = False):
     """-> {frame_id: (ids, [flat polygon arrays], transcriptions)}.
 
     Polygons keep their native vertex count (quads for ICDAR15/DSText,
@@ -44,7 +45,11 @@ def parse_xml(path, only_curve: bool = False):
     for fr in root:
         ids, polys, txts = [], [], []
         for obj in fr:
-            pts = [(float(p.attrib["x"]), float(p.attrib["y"])) for p in obj]
+            if int_coords:  # official parse: max(0, int(x)) (Track_video_2_0.py:183-184)
+                pts = [(max(0, int(float(p.attrib["x"]))), max(0, int(float(p.attrib["y"]))))
+                       for p in obj]
+            else:
+                pts = [(float(p.attrib["x"]), float(p.attrib["y"])) for p in obj]
             if len(pts) < 3:
                 continue
             ids.append(int(obj.attrib["ID"]))
@@ -91,6 +96,89 @@ def parse_artvideo_json(path, only_curve: bool = False):
     return frames
 
 
+def parse_track_texts(path):
+    """'"ID","Transcription"' lines (the official per-track txt format,
+    E2E_video_2_0.py:205-219 / our writer.write_track_transcriptions)."""
+    import re as _re
+
+    out = {}
+    if not path or not os.path.exists(path):
+        return out
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            m = _re.match(r'^"([0-9]+)","(.*)"$', line)
+            if m:
+                out[int(m.group(1))] = m.group(2)
+    return out
+
+
+def evaluate_video_icdar(gt_frames, res_frames, iou_threshold=0.5, e2e=False,
+                         gt_track_texts=None, det_track_texts=None):
+    """One video under the OFFICIAL ICDAR15-video / DSText protocol
+    (Track_video_2_0.py:133-330, E2E_video_2_0.py:180-380):
+
+      - coordinates int-cast and clamped >= 0 (caller's parse does this);
+      - GT whose per-frame Transcription contains '#' — or, in e2e mode, whose
+        track id is absent from the GT track-transcription txt — is don't-care;
+      - detections with intersection/det_area > 0.5 against any don't-care
+        region are removed (overlapping_fn);
+      - a (gt, det) pair is matchable iff IoU > threshold STRICTLY and (e2e)
+        the det TRACK transcription .upper() equals the GT track transcription
+        normalized to [chinese|alnum].upper();
+      - a video with zero surviving detections scores all-zero metrics.
+
+    Returns the per-video metrics dict (+ 'MOTAN', 'num_hyp').
+    """
+    n_det = 0
+    acc = MOTAccumulator(iou_threshold=iou_threshold, strict_threshold=True,
+                         text_rule="icdar" if e2e else "sim")
+    gt_track_texts = gt_track_texts or {}
+    det_track_texts = det_track_texts or {}
+    pending = []
+    for frame in sorted(gt_frames):
+        g_ids, g_polys, g_txts = gt_frames[frame]
+        h_ids, h_polys, h_txts = res_frames.get(frame, ([], [], []))
+        dc = []
+        keep_g = []
+        for i, (gid, t) in enumerate(zip(g_ids, g_txts)):
+            if "#" in t or (e2e and gid not in gt_track_texts):
+                dc.append(g_polys[i])
+            else:
+                keep_g.append(i)
+        keep_h = []
+        for j in range(len(h_ids)):
+            if any(intersection_over_det(h_polys[j], d) > 0.5 for d in dc):
+                continue
+            keep_h.append(j)
+        n_det += len(keep_h)
+        texts = None
+        if e2e:
+            texts = (
+                [gt_track_texts.get(g_ids[i], "") for i in keep_g],
+                [det_track_texts.get(h_ids[j], "") for j in keep_h],
+            )
+        pending.append((
+            [g_ids[i] for i in keep_g], [g_polys[i] for i in keep_g],
+            [h_ids[j] for j in keep_h], [h_polys[j] for j in keep_h], texts,
+        ))
+    zeros = {"MOTA": 0.0, "MOTP": 0.0, "IDF1": 0.0, "IDSW": 0, "FP": 0, "FN": 0,
+             "MT": 0, "PT": 0, "ML": 0, "num_gt": 0, "MOTAN": 0.0}
+    if n_det == 0:  # 'Motmetrics fails if no detection...' — official zero row
+        return zeros
+    for g_ids, g_polys, h_ids, h_polys, texts in pending:
+        acc.update(g_ids, g_polys, h_ids, h_polys, texts=texts)
+    m = acc.metrics()
+    pr, ob = acc.num_hyp, acc.num_gt
+    m["MOTAN"] = (
+        0.0 if pr == 0 or ob == 0
+        else 0.5 * (m["FP"] + m["IDSW"]) / pr + 0.5 * m["FN"] / ob
+    )
+    return m
+
+
 def parse_bovtext_json(path):
     """BOVText per-video json: {frame_id: [{points(8), ID, transcription}]}
     (Task1/tracking_utils/io.py read_text_results). Returns the same frame->
@@ -113,10 +201,9 @@ def parse_bovtext_json(path):
 
 
 def evaluate_video(gt_frames, res_frames, iou_threshold=0.5, e2e=False, text_sim=1.0,
-                   match_lowest_iou=False, bovtext_text_rule=False):
+                   match_lowest_iou=False, text_rule="sim"):
     acc = MOTAccumulator(iou_threshold=iou_threshold, text_sim_threshold=text_sim,
-                         match_lowest_iou=match_lowest_iou,
-                         bovtext_text_rule=bovtext_text_rule)
+                         match_lowest_iou=match_lowest_iou, text_rule=text_rule)
     for frame in sorted(gt_frames):
         g_ids, g_polys, g_txts = gt_frames[frame]
         h_ids, h_polys, h_txts = res_frames.get(frame, ([], [], []))
@@ -208,7 +295,7 @@ def bovtext_main(args):
         acc = evaluate_video(
             gt_frames, res_frames, args.iou, args.e2e,
             text_sim=0.9 if args.e2e else 1.0,
-            match_lowest_iou=True, bovtext_text_rule=True,
+            match_lowest_iou=True, text_rule="bovtext",
         )
         per_video[video] = acc.metrics()
         _merge_into(totals, acc, video)
@@ -267,20 +354,37 @@ def main():
         if artvideo:  # ArTVideo-style GT
             gt_frames = parse_artvideo_json(os.path.join(args.gt, name), args.curve)
         else:
-            gt_frames = parse_xml(os.path.join(args.gt, name), only_curve=args.curve)
-        res_frames = parse_xml(res_path) if res_path else {}
+            gt_frames = parse_xml(os.path.join(args.gt, name), only_curve=args.curve,
+                                  int_coords=True)
+        res_frames = parse_xml(res_path, int_coords=not artvideo) if res_path else {}
         if args.det:
             for frame in sorted(gt_frames):
                 g_ids, g_polys, g_txts = gt_frames[frame]
                 _, h_polys, _ = res_frames.get(frame, ([], [], []))
                 det_frames.append((g_polys, g_txts, h_polys))
             continue
-        # ArTVideo's official scorer feeds dist = IoU to motmetrics, which then
-        # MINIMIZES IoU among valid pairs (eval_trk.py:101-118) - reproduce it
-        acc = evaluate_video(gt_frames, res_frames, args.iou, args.e2e, args.text_sim,
-                             match_lowest_iou=artvideo)
-        per_video[video] = acc.metrics()
-        _merge_into(totals, acc, video)
+        if artvideo:
+            # ArTVideo's official scorer feeds dist = IoU to motmetrics, which
+            # then MINIMIZES IoU among valid pairs (eval_trk.py:101-118)
+            acc = evaluate_video(gt_frames, res_frames, args.iou, args.e2e,
+                                 args.text_sim, match_lowest_iou=True)
+            per_video[video] = acc.metrics()
+            _merge_into(totals, acc, video)
+        else:
+            # ICDAR15-video / DSText official protocol (Track_video_2_0.py /
+            # E2E_video_2_0.py): per-video accumulators, strict IoU > 0.5,
+            # '#' + missing-track-text don't-cares, intersection/det-area
+            # ignore filtering, track-level transcriptions, macro-averaged
+            # MOTA/MOTP/IDF1 over videos
+            gt_txt = parse_track_texts(
+                os.path.join(args.gt, name).replace(".xml", ".txt")
+            ) if args.e2e else None
+            det_txt = parse_track_texts(
+                res_path.replace(".xml", ".txt")
+            ) if (args.e2e and res_path) else None
+            per_video[video] = evaluate_video_icdar(
+                gt_frames, res_frames, args.iou, args.e2e, gt_txt, det_txt
+            )
 
     if args.det:
         d = evaluate_detection(det_frames, args.iou)
@@ -291,7 +395,29 @@ def main():
         )
         return
 
-    _print_summary(per_video, totals)
+    if totals.num_gt == 0 and per_video:
+        # ICDAR/DSText path: the official OVERALL is the MEAN of per-video
+        # MOTA/MOTP/IDF1 (Track_video_2_0.py:340-351), counts summed
+        n = len(per_video)
+        print(f"{'video':<28} {'MOTA':>7} {'MOTP':>7} {'IDF1':>7} {'IDSW':>5} {'FP':>6} {'FN':>6}")
+        for v, m in per_video.items():
+            print(
+                f"{v:<28} {m['MOTA'] * 100:>6.2f}% {m['MOTP'] * 100:>6.2f}% "
+                f"{m['IDF1'] * 100:>6.2f}% {m['IDSW']:>5} {m['FP']:>6} {m['FN']:>6}"
+            )
+        print("-" * 70)
+        mota = sum(m["MOTA"] for m in per_video.values()) / n
+        motp = sum(m["MOTP"] for m in per_video.values()) / n
+        idf1 = sum(m["IDF1"] for m in per_video.values()) / n
+        sw = sum(m["IDSW"] for m in per_video.values())
+        fp = sum(m["FP"] for m in per_video.values())
+        fn = sum(m["FN"] for m in per_video.values())
+        print(
+            f"{'OVERALL (macro)':<28} {mota * 100:>6.2f}% {motp * 100:>6.2f}% "
+            f"{idf1 * 100:>6.2f}% {sw:>5} {fp:>6} {fn:>6}"
+        )
+    else:
+        _print_summary(per_video, totals)
 
 
 if __name__ == "__main__":
