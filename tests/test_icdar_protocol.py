@@ -209,3 +209,92 @@ def test_matches_official_protocol(official, tmp_path, mode):
     np.testing.assert_allclose(
         sum(m["IDF1"] for m in ours) / n, ref["method"]["IDF1"], atol=1e-9
     )
+
+
+def test_detection_matches_official_protocol(official, tmp_path):
+    """DSText frame-level detection HMean (script.py:54-330) run verbatim vs
+    our evaluate_detection: greedy index-order matching, strict IoU > 0.5,
+    '###' don't-cares, area-precision ignore filtering, micro-averaged totals."""
+    import importlib.util
+
+    # the det script's geometry is shapely-style: .area property, &, intersects
+    class _ShapelyPoly:
+        def __init__(self, pts):
+            self._pts = np.asarray(pts, np.float64).reshape(-1, 2)
+
+        @property
+        def area(self):
+            return _poly_area(self._pts) if len(self._pts) >= 3 else 0.0
+
+        def intersects(self, other):
+            return (self & other).area > 0
+
+        def __and__(self, other):
+            if len(self._pts) < 3 or len(other._pts) < 3:
+                return _ShapelyPoly(np.zeros((0, 2)))
+            inter = _ccw(self._pts)
+            clip = _ccw(other._pts)
+            for i in range(len(clip)):
+                inter = _clip_poly(inter, clip[i], clip[(i + 1) % len(clip)])
+                if len(inter) == 0:
+                    break
+            return _ShapelyPoly(inter)
+
+    shp = types.ModuleType("shapely")
+    shp_geom = types.ModuleType("shapely.geometry")
+    shp_geom.Polygon = _ShapelyPoly
+    shp.geometry = shp_geom
+    sys.modules["shapely"] = shp
+    sys.modules["shapely.geometry"] = shp_geom
+
+    path = f"{DST}/Evaluation_DSText_Det"
+    sys.path.insert(0, path)
+    spec = importlib.util.spec_from_file_location("det_script", f"{path}/script.py")
+    det_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(det_mod)
+    sys.path.remove(path)
+
+    rng = np.random.RandomState(42)
+    frames = []
+    for _ in range(25):
+        gts, dets = [], []
+        for t in range(4):
+            if rng.rand() < 0.2:
+                continue
+            x, y = int(rng.randint(0, 200)), int(rng.randint(0, 100))
+            txt = "###" if rng.rand() < 0.2 else "WORD"
+            gts.append((_quad(x, y), txt))
+            r = rng.rand()
+            if r < 0.6:
+                dets.append(_quad(x + int(rng.randint(-3, 4)), y + int(rng.randint(-3, 4))))
+            elif r < 0.75:
+                dets.append(_quad(x + 50, y + 40))
+        if rng.rand() < 0.3:
+            dets.append(_quad(250, 110))
+        frames.append((gts, dets))
+
+    gt_zip = tmp_path / "det_gt.zip"
+    sub_zip = tmp_path / "det_sub.zip"
+    with zipfile.ZipFile(gt_zip, "w") as zg, zipfile.ZipFile(sub_zip, "w") as zs:
+        for i, (gts, dets) in enumerate(frames, start=1):
+            zg.writestr(f"img_{i}.txt", "".join(
+                ",".join(str(int(c)) for c in q) + f",{t}\n" for q, t in gts))
+            zs.writestr(f"img_{i}.txt", "".join(
+                ",".join(str(int(c)) for c in q) + "\n" for q in dets))
+
+    ref, _hmean = det_mod.evaluate_method(str(gt_zip), str(sub_zip),
+                                          det_mod.default_evaluation_params())
+    from gomatching_tpu.evaluation.mot_metrics import evaluate_detection
+
+    ours = evaluate_detection(
+        [
+            ([np.asarray(q, np.float64) for q, _ in gts],
+             [t for _, t in gts],
+             [np.asarray(q, np.float64) for q in dets])
+            for gts, dets in frames
+        ],
+        0.5,
+    )
+    np.testing.assert_allclose(ours["recall"], ref["method"]["recall"], atol=1e-9)
+    np.testing.assert_allclose(ours["precision"], ref["method"]["precision"], atol=1e-9)
+    np.testing.assert_allclose(ours["hmean"], ref["method"]["hmean"], atol=1e-9)
