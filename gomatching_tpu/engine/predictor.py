@@ -334,6 +334,9 @@ class VideoPredictor:
         if buf:
             flush(buf)
 
+        for k, v in self.tracker.time_cost.items():
+            tc[k] = tc.get(k, 0) + v
+
         t0 = time.time()
         tracked = self.tracker.remove_short_tracks()
         orig_h, orig_w = self._orig_hw

@@ -20,6 +20,7 @@ sets id_count = n0 + 1 and the next new track gets id n0 + 2; unmatched marker -
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
@@ -108,6 +109,9 @@ class Tracker:
     def reset(self):
         self.frames: List[FrameDetections] = []
         self.id_count = 0
+        # stage wall-clock parity with the reference's time_cost buckets
+        # (gom_lstmatcher.py:381-399): per-video short/long match seconds
+        self.time_cost = {"short_match": 0.0, "long_match": 0.0}
 
     # ------------------------------------------------------------------
     def _run_matcher(self, frames: List[FrameDetections], short_term: bool) -> np.ndarray:
@@ -327,16 +331,22 @@ class Tracker:
             det.track_ids = np.arange(1, len(det) + 1, dtype=np.int64)
             self.id_count = len(det) + 1
         elif frame_id == 1:
+            t0 = time.time()
             self._short_term(self.frames[0], det, cached)
+            self.time_cost["short_match"] += time.time() - t0
             for i in range(len(det)):
                 if det.track_ids[i] < 0:
                     self.id_count += 1
                     det.track_ids[i] = self.id_count
         else:
+            t0 = time.time()
             self._short_term(self.frames[frame_id - 1], det, cached)
+            self.time_cost["short_match"] += time.time() - t0
             if (det.track_ids == -1).any():
                 win_st = max(0, frame_id + 1 - self.test_len)
+                t0 = time.time()
                 self._long_term(self.frames[win_st : frame_id + 1])
+                self.time_cost["long_match"] += time.time() - t0
         assert len(np.unique(det.track_ids)) == len(det.track_ids)
         # free reid memory outside the sliding window (gom_lstmatcher.py:401-402)
         if frame_id - self.test_len >= 0:
