@@ -315,7 +315,16 @@ class Trainer:
 
         res_match_mask = np.zeros((T, nq), np.float32)
         if self.with_rescore and re is not None:
-            matches = match_rescore(re, np.asarray(spot_out["pred_ctrl_points"]), targets["gt_ctrl"])
+            # 4GM matcher cost uses the configured class/coord weights
+            # (build_point_matcher, matcher.py:255-261)
+            lw = self.cfg.MODEL.TRANSFORMER.LOSS
+            matches = match_rescore(
+                re, np.asarray(spot_out["pred_ctrl_points"]), targets["gt_ctrl"],
+                class_weight=lw.POINT_CLASS_WEIGHT,
+                coord_weight=lw.POINT_COORD_WEIGHT,
+                focal_alpha=lw.FOCAL_ALPHA,
+                focal_gamma=lw.FOCAL_GAMMA,
+            )
             for t, (qi, _) in enumerate(matches):
                 res_match_mask[t, qi] = 1.0
 

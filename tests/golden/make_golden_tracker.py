@@ -218,6 +218,7 @@ def dump_detection(out: dict, seed: int):
 def main():
     out = {}
     dump_detection(out, seed=3)
+    dump_train_losses(out, seed=7)
 
     for variant in ("lst", "shared", "lstpe"):
         roi, cfg = build_roi_heads(variant, seed=7)
@@ -241,6 +242,111 @@ def main():
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **out)
     print(f"wrote {path} ({os.path.getsize(path) / 1e6:.2f} MB, {len(out)} arrays)")
+
+
+
+
+
+def dump_train_losses(out, seed):
+    """Reference training losses: loss_res (4GM Hungarian + focal,
+    lstmatcher.py:237-268) and the long/short association losses
+    (_forward_asso train path :271-330, _get_asso_gt :384-428,
+    detr_asso_loss :431-460) on a synthetic 3-frame clip with a GT-empty
+    frame. Our Trainer._loss_fn must reproduce all three values."""
+    from adet.modeling.model.matcher import build_point_matcher
+
+    lst, cfg = build_roi_heads("lst", seed)
+    lst.train()
+    # attrs the losses read that live on LSTMatcher.__init__ (bypassed by the
+    # __new__ construction): lstmatcher.py:64-77
+    lst.point_matcher = build_point_matcher(cfg)
+    lst.num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    lst.focal_alpha = cfg.MODEL.TRANSFORMER.LOSS.FOCAL_ALPHA
+    lst.focal_gamma = cfg.MODEL.TRANSFORMER.LOSS.FOCAL_GAMMA
+
+    T, nq, npts, hid = 3, 8, NPTS, HID
+    rng = np.random.RandomState(seed + 50)
+    pred_logits = rng.randn(T, nq, npts, 1).astype(np.float32)
+    rng.randn(T, nq, npts, 1)  # keep the stream position stable
+    ctrl = rng.rand(T, nq, npts, 2).astype(np.float32)
+    qf = rng.randn(T, nq, npts, hid).astype(np.float32)
+    # re logits must come from the rescoring head so the JAX side (which
+    # recomputes them from query_features) sees identical values
+    with torch.no_grad():
+        re_logits = lst.rescoring_head(torch.from_numpy(qf)).numpy()
+    # boxes via boundary extremes: bd rows all equal (x1,y1,x2,y2), x1<x2, y1<y2
+    x1 = rng.rand(T, nq).astype(np.float32) * 0.5
+    y1 = rng.rand(T, nq).astype(np.float32) * 0.5
+    x2 = x1 + 0.1 + rng.rand(T, nq).astype(np.float32) * 0.3
+    y2 = y1 + 0.1 + rng.rand(T, nq).astype(np.float32) * 0.3
+    bd = np.stack([x1, y1, x2, y2], -1)[:, :, None, :].repeat(npts, axis=2)
+
+    scores = 1 / (1 + np.exp(-pred_logits.mean(2)[..., 0]))
+    re_s = 1 / (1 + np.exp(-re_logits.mean(2)[..., 0]))
+    fused = np.maximum(scores, re_s)
+    thresh = float(np.median(fused))  # keep ~half the slots
+
+    # GT: frames 0/1 have 3 tracked instances; frame 2 is EMPTY
+    gt_boxes, gt_ids = [], []
+    for t in range(T):
+        if t == 2:
+            gt_boxes.append(np.zeros((0, 4), np.float32))
+            gt_ids.append(np.zeros((0,), np.int64))
+        else:
+            # overlap some proposals: reuse 3 proposal boxes + jitter
+            base = np.stack([x1[t, :3], y1[t, :3], x2[t, :3], y2[t, :3]], -1)
+            gt_boxes.append((base + rng.randn(3, 4).astype(np.float32) * 0.01) * [W, H, W, H])
+            gt_ids.append(np.asarray([1, 2, 3], np.int64))
+
+    Instances, Boxes = D2S.Instances, D2S.Boxes
+    proposals, targets_inst = [], []
+    for t in range(T):
+        pi = Instances((H, W))
+        pi.objectness_logits = torch.from_numpy(fused[t])
+        pi.query_features = torch.from_numpy(qf[t])
+        pi.pred_boxes = Boxes(torch.from_numpy(
+            np.stack([x1[t] * W, y1[t] * H, x2[t] * W, y2[t] * H], -1)))
+        proposals.append(pi)
+        ti = Instances((H, W))
+        ti.gt_boxes = Boxes(torch.from_numpy(gt_boxes[t]))
+        ti.gt_instance_ids = torch.from_numpy(gt_ids[t])
+        targets_inst.append(ti)
+
+    lst.asso_thresh_train = thresh
+    with torch.no_grad():
+        asso_losses = lst._forward_asso(proposals, targets_inst)
+        res_targets = [
+            {"labels": torch.zeros(len(g), dtype=torch.int64),
+             "ctrl_points": torch.from_numpy(
+                 ctrl[t][: len(g)] * 0 + rng.rand(len(g), npts, 2).astype(np.float32))}
+            for t, g in enumerate(gt_ids)
+        ]
+        # use gt ctrl points near some predictions for a non-trivial match
+        for t in range(T):
+            n = len(gt_ids[t])
+            if n:
+                res_targets[t]["ctrl_points"] = torch.from_numpy(
+                    ctrl[t, :n] + rng.randn(n, npts, 2).astype(np.float32) * 0.02)
+        res_loss = lst.loss_res(
+            {"re_pred_logits": torch.from_numpy(re_logits),
+             "pred_ctrl_points": torch.from_numpy(ctrl)},
+            res_targets,
+        )
+
+    p = "trainloss"
+    out[f"{p}.pred_logits"] = pred_logits
+    out[f"{p}.re_logits"] = re_logits
+    out[f"{p}.ctrl"] = ctrl
+    out[f"{p}.qf"] = qf
+    out[f"{p}.bd"] = bd
+    out[f"{p}.thresh"] = np.float32(thresh)
+    for t in range(T):
+        out[f"{p}.gt_boxes{t}"] = gt_boxes[t]
+        out[f"{p}.gt_ids{t}"] = gt_ids[t]
+        out[f"{p}.res_ctrl{t}"] = res_targets[t]["ctrl_points"].numpy()
+    out[f"{p}.loss_long"] = np.float64(float(asso_losses["loss_long_asso"]))
+    out[f"{p}.loss_short"] = np.float64(float(asso_losses["loss_short_asso"]))
+    out[f"{p}.loss_res"] = np.float64(float(res_loss["loss_res"]))
 
 
 if __name__ == "__main__":

@@ -184,3 +184,64 @@ def test_detection_matches_reference(golden):
     np.testing.assert_allclose(
         np.asarray(det["bd"][0])[sel], golden["det.out.bd"], rtol=1e-5, atol=1e-4
     )
+
+
+def test_training_losses_match_reference(golden):
+    """Tracker TRAINING losses vs the reference: loss_res (4GM Hungarian +
+    focal, lstmatcher.py:237-268) and long/short association losses
+    (_forward_asso :271-330 incl. _get_asso_gt and detr_asso_loss) on a
+    3-frame clip with a GT-empty frame, through our full Trainer._loss_fn
+    chain (fused-score thresholding, reid head, decode-all matcher, padded
+    CE-with-background)."""
+    from convert_torch_weights import convert
+    from ref_loader import tiny_cfg
+
+    from gomatching_tpu.engine.predictor import init_params
+    from gomatching_tpu.engine.train import Trainer
+    from gomatching_tpu.models.gomatching import build_model
+
+    p = "trainloss"
+    thresh = float(golden[f"{p}.thresh"])
+    cfg = tiny_cfg()
+    cfg.MODEL.WEIGHTS = ""
+    cfg.MODEL.TRANSFORMER.INFERENCE_TH_TRAIN = thresh
+    cfg.MODEL.ASSO_HEAD.ASSO_THRESH = thresh
+    sd = {k[len("trk.lst.sd.") :]: golden[k] for k in golden.files
+          if k.startswith("trk.lst.sd.")}
+    tree, _, _ = convert(sd, cfg)
+
+    model = build_model(cfg)
+    params = init_params(model, image_size=(64, 64))
+    params["params"]["roi_heads"] = tree["params"]["roi_heads"]
+    trainer = Trainer(cfg, model, params)
+    assert not trainer.use_dropout  # deterministic comparison
+
+    T = golden[f"{p}.pred_logits"].shape[0]
+    spot_out = {
+        "pred_logits": golden[f"{p}.pred_logits"],
+        "re_pred_logits": golden[f"{p}.re_logits"],
+        "pred_ctrl_points": golden[f"{p}.ctrl"],
+        "pred_bd_points": golden[f"{p}.bd"],
+        "query_features": golden[f"{p}.qf"],
+    }
+    targets = {
+        "gt_ctrl": [golden[f"{p}.res_ctrl{t}"] for t in range(T)],
+        "gt_boxes": [
+            golden[f"{p}.gt_boxes{t}"] / np.asarray([W, H, W, H], np.float32)
+            for t in range(T)
+        ],
+        "gt_ids": [golden[f"{p}.gt_ids{t}"] for t in range(T)],
+    }
+    batch = trainer.prepare_batch(spot_out, targets)
+    batch["query_features"] = jnp.asarray(spot_out["query_features"])
+    _, losses = trainer._loss_fn(trainer.state.trainable, trainer.state.frozen, batch)
+
+    np.testing.assert_allclose(
+        float(losses["loss_res"]), float(golden[f"{p}.loss_res"]), rtol=1e-4,
+        err_msg="loss_res")
+    np.testing.assert_allclose(
+        float(losses["loss_long_asso"]), float(golden[f"{p}.loss_long"]), rtol=1e-4,
+        err_msg="loss_long_asso")
+    np.testing.assert_allclose(
+        float(losses["loss_short_asso"]), float(golden[f"{p}.loss_short"]), rtol=1e-3,
+        err_msg="loss_short_asso")
