@@ -164,17 +164,17 @@ class PRM(nn.Module):
 
 class PCM(nn.Module):
     """Parallel convolution module: 3 grouped 3x3 convs with (frozen) BN + SiLU
-    between (ReductionCell.py:99-107 / NormalCell.py:147-155)."""
+    between. Per-conv output dims differ between the two uses:
+    ReductionCell.py:99-107 -> (embed, embed, token);
+    NormalCell.py:147-154   -> (mlp_hidden, dim, dim)."""
 
-    mid: int
-    out: int
+    dims: Sequence[int]
     strides: Sequence[int]
     group: int
 
     @nn.compact
     def __call__(self, x):
-        dims = (self.mid, self.mid, self.out)
-        for i, (dim, s) in enumerate(zip(dims, self.strides)):
+        for i, (dim, s) in enumerate(zip(self.dims, self.strides)):
             x = nn.Conv(
                 dim, (3, 3), strides=(s, s), padding=((1, 1), (1, 1)),
                 feature_group_count=self.group, name=f"conv{i}",
@@ -218,7 +218,10 @@ class ReductionCell(nn.Module):
         Ho, Wo = prm.shape[1], prm.shape[2]
         prm = prm.reshape(B, Ho * Wo, -1)
 
-        conv_x = PCM(self.embed_dim, self.token_dim, strides, self.group, name="pcm")(x)
+        conv_x = PCM(
+            (self.embed_dim, self.embed_dim, self.token_dim), strides, self.group,
+            name="pcm",
+        )(x)
         conv_x = conv_x.reshape(B, Ho * Wo, self.token_dim)
 
         if self.tokens_type == "window":
@@ -259,7 +262,7 @@ class NormalCell(nn.Module):
             y = FullAttention(self.dim, self.heads, name="attn")(y)
 
         hidden = int(self.dim * self.mlp_ratio)
-        conv_x = PCM(hidden, self.dim, (1, 1, 1), self.group, name="pcm")(
+        conv_x = PCM((hidden, self.dim, self.dim), (1, 1, 1), self.group, name="pcm")(
             shortcut.reshape(B, H, W, C)
         ).reshape(B, N, C)
 
