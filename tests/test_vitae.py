@@ -60,7 +60,7 @@ def test_pcm_grouped_matches_torch():
     H, W, C, mid, out_c, g = 12, 14, 16, 32, 16, 4
     x = rng.randn(1, H, W, C).astype(np.float32)
 
-    m = PCM(mid, out_c, (2, 2, 1), g)
+    m = PCM((mid, mid, out_c), (2, 2, 1), g)
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
     out = _np(m.apply(params, jnp.asarray(x)))
 
