@@ -145,10 +145,14 @@ def load_video_json(json_file: str, image_root: str, num_points: int = 25,
         for anno in anns_by_image.get(img["id"], []):
             if "rec" in anno and anno["rec"] is not None:
                 rec = np.asarray(anno["rec"], np.int32)
-                if np.sum(rec != voc_size) == 0:  # all-unknown: no text script
+                if np.sum(rec != voc_size) == 0:  # entirely padding: no text
                     continue
-                texts = np.full((max(25, len(rec)),), voc_size, np.int32)
-                texts[: len(rec)] = rec
+                # normalize to the model's 25-point budget so every instance in
+                # a dataset shares one text length (mixed-length recs would
+                # break padded target building)
+                texts = np.full((25,), voc_size, np.int32)
+                n = min(len(rec), 25)
+                texts[:n] = rec[:n]
             else:
                 texts = encode_text(
                     anno.get("transcription"), anno.get("text_category"), voc_size=voc_size

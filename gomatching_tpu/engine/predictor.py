@@ -318,9 +318,12 @@ class VideoPredictor:
             dets = self.spot_frames(buf, tc)
             t0 = time.time()
             # one batched device call covers every adjacent pair's short-term
-            # matcher pass (incl. the pair spanning the previous window)
+            # matcher pass (incl. the pair spanning the previous window); its
+            # wall time belongs to the short_match stage bucket
             prevs = ([self.tracker.frames[-1]] if self.tracker.frames else []) + dets[:-1]
             cache = self.tracker.precompute_short_asso(list(zip(prevs, dets[len(dets) - len(prevs):])))
+            self.tracker.time_cost["short_match"] += time.time() - t0
+            t0 = time.time()
             for det in dets:
                 self.tracker.step(det, short_asso_cache=cache)
             tc["tracker"] = tc.get("tracker", 0) + time.time() - t0

@@ -401,11 +401,14 @@ class MOTAccumulator:
         free_h = [j for j in range(H) if j not in matched_h]
         if free_g and free_h:
             sub = iou[np.ix_(free_g, free_h)]
-            matchable = sub >= self.iou_threshold
+            matchable = (
+                sub > self.iou_threshold if self.strict_threshold
+                else sub >= self.iou_threshold
+            )
             cost = np.where(matchable, sub if self.match_lowest_iou else 1.0 - sub, 1e6)
             ri, ci = solve(cost)
             for r, c in zip(ri, ci):
-                if sub[r, c] >= self.iou_threshold:
+                if matchable[r, c]:
                     g, h = gt_ids[free_g[r]], hyp_ids[free_h[c]]
                     matches[g] = (h, sub[r, c])
                     matched_g.add(free_g[r])

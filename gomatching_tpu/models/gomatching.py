@@ -407,6 +407,9 @@ def build_model(cfg) -> GoMatchingModel:
         roi_head_variant=variant,
         with_rescore=cfg.MODEL.ROI_HEADS.WITH_RESR,
         asso_dropout=a.DROPOUT,
+        asso_no_pos_emb=a.NO_POS_EMB,
+        asso_with_temp_emb=a.WITH_TEMP_EMB,
+        swin_type=cfg.MODEL.SWIN.TYPE,
         test_score_threshold=t.INFERENCE_TH_TEST,
         nms_thresh=cfg.VIDEO_TEST.NMS_THRESH,
         compute_dtype=cfg.MODEL.PRECISION,

@@ -86,6 +86,7 @@ class MSDeformAttn(nn.Module):
         spatial_shapes: Sequence[Tuple[int, int]],
         token_valid: Optional[jnp.ndarray] = None,  # (B, S) True where real
         query_chunk: int = 0,
+        is_encoder_self_attn: bool = False,
     ) -> jnp.ndarray:
         B, Lq, C = query.shape
         M, L, P = self.n_heads, self.n_levels, self.n_points
@@ -119,9 +120,13 @@ class MSDeformAttn(nn.Module):
             out = ms_deform_attn_pallas(value, spatial_shapes, loc, attn)
         elif (
             self.sampling_impl == "tiled"
-            and Lq == value.shape[1]
+            and is_encoder_self_attn
             and token_valid is None
         ):
+            # explicit routing: only encoder self-attention satisfies the
+            # queries-are-grid-tokens premise (Lq == S alone is a coincidence
+            # a small config could reproduce in the decoder)
+            assert Lq == value.shape[1]
             # encoder self-attn on un-padded inputs: queries are the grid tokens
             # themselves, so the tiled one-hot MXU contraction applies exactly
             # (up to the halo bound — see ops/deform_attn_tiled.py docstring)
@@ -151,7 +156,8 @@ class EncoderLayer(nn.Module):
         attn = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             sampling_impl=self.sampling_impl, tiled_halo=self.tiled_halo, name="self_attn"
-        )(src + pos, reference_points, src, spatial_shapes, token_valid)
+        )(src + pos, reference_points, src, spatial_shapes, token_valid,
+          is_encoder_self_attn=True)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn)
         return FFN(self.dim_feedforward, name="ffn")(src)
 

@@ -235,8 +235,9 @@ class Tracker:
             feats[i, : len(f)] = f
             valid[i, : len(f)] = True
         if self.use_pos_emb:
-            boxes = np.stack([self._pos_inputs([p, c], npad)[0] for p, c in pairs])
-            times = np.stack([self._pos_inputs([p, c], npad)[1] for p, c in pairs])
+            pts = [self._pos_inputs([p, c], npad) for p, c in pairs]
+            boxes = np.stack([b for b, _ in pts])
+            times = np.stack([t for _, t in pts])
             logits = np.asarray(self.associate_fn(feats, valid, True, boxes, times))
         else:
             logits = np.asarray(self.associate_fn(feats, valid, True))

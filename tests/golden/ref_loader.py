@@ -353,6 +353,81 @@ def load_reference_gom_meta():
     return gom_lstmatcher, lstmatcher, d2_structures
 
 
+def load_reference_backbones():
+    """Import the reference Swin / ViTAEv2 backbones with timm + d2-Backbone
+    facades (DropPath/to_2tuple/trunc_normal_ and a plain nn.Module base —
+    init-only or inert-at-eval helpers; all weights come from dumped
+    state_dicts). Returns (swin_transformer_module, vitae_v2_module)."""
+    load_reference_gomatching_roi_modules()  # installs the d2/adet skeletons
+    import collections.abc
+
+    import torch
+    from torch import nn
+
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_layers = types.ModuleType("timm.models.layers")
+
+        def to_2tuple(x):
+            if isinstance(x, collections.abc.Iterable):
+                return tuple(x)
+            return (x, x)
+
+        def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            return nn.init.trunc_normal_(tensor, mean=mean, std=std, a=a, b=b)
+
+        class DropPath(nn.Module):
+            def __init__(self, drop_prob=None):
+                super().__init__()
+                self.drop_prob = drop_prob or 0.0
+
+            def forward(self, x):
+                if self.drop_prob == 0.0 or not self.training:
+                    return x
+                keep = 1 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+                mask.floor_()
+                return x.div(keep) * mask
+
+        timm_layers.DropPath = DropPath
+        timm_layers.to_2tuple = to_2tuple
+        timm_layers.trunc_normal_ = trunc_normal_
+        timm_models.layers = timm_layers
+        timm.models = timm_models
+        sys.modules.update({"timm": timm, "timm.models": timm_models,
+                            "timm.models.layers": timm_layers})
+
+    if "detectron2.modeling.backbone" not in sys.modules:
+        d2_bb = types.ModuleType("detectron2.modeling.backbone")
+
+        class Backbone(nn.Module):
+            def __init__(self):
+                super().__init__()
+
+        d2_bb.Backbone = Backbone
+        d2_bb_build = types.ModuleType("detectron2.modeling.backbone.build")
+
+        class _Registry:
+            def register(self, obj=None):
+                if obj is None:
+                    return lambda o: o
+                return obj
+
+        d2_bb_build.BACKBONE_REGISTRY = _Registry()
+        d2_bb.build = d2_bb_build
+        sys.modules["detectron2.modeling.backbone"] = d2_bb
+        sys.modules["detectron2.modeling.backbone.build"] = d2_bb_build
+
+    _skeleton("adet.modeling.swin", f"{REF_TP}/adet/modeling/swin")
+    _skeleton("adet.modeling.vitae_v2", f"{REF_TP}/adet/modeling/vitae_v2")
+    import adet.modeling.swin.swin_transformer as swin_mod
+    import adet.modeling.vitae_v2.vitae_v2 as vitae_mod
+
+    return swin_mod, vitae_mod
+
+
 def tiny_cfg():
     """Small-dims config shared by the dump scripts and the JAX-side tests.
 

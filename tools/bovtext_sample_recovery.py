@@ -333,17 +333,24 @@ def _complement_start_end(rows, frame_paths: Dict[int, str], tl2=50):
 def recover_video(sample_anno_dir: str, frames_dir: str, out_dir: str) -> Dict[int, List]:
     """Full pipeline for one video; writes per-frame txts under out_dir and
     returns {frame_id: [rows]} (RecoveryVideoAnnotations + Cluster2Frames)."""
+    # frame id = the LAST underscore token (real BOVText video names contain
+    # underscores); process in numeric frame order — the official script
+    # inherits filesystem order, which on the authors' machines was creation
+    # (= frame) order, and its cluster linking depends on it
+    def _fid(path):
+        return int(os.path.splitext(os.path.basename(path))[0].split("_")[-1])
+
     txts = sorted(
         (
             os.path.join(sample_anno_dir, f)
             for f in os.listdir(sample_anno_dir)
             if f.endswith(".txt")
         ),
+        key=_fid,
     )
     clusters: Dict = {"cluster_num": 0}
     for path in txts:
-        name = os.path.splitext(os.path.basename(path))[0]
-        frame_id = int(name.split("_")[1])
+        frame_id = _fid(path)
         for obj_id, data in enumerate(load_4points(path)):
             if not _try_link(frame_id, obj_id, clusters, data):
                 _new_cluster(frame_id, obj_id, clusters, data)

@@ -338,6 +338,7 @@ def main():
     totals = MOTAccumulator(iou_threshold=args.iou)
     per_video = {}
     det_frames = []
+    icdar_mode = False  # any XML-GT video routes through the ICDAR protocol
     for name in sorted(os.listdir(args.gt)):
         if not name.endswith((".xml", ".json")):
             continue
@@ -385,6 +386,7 @@ def main():
             per_video[video] = evaluate_video_icdar(
                 gt_frames, res_frames, args.iou, args.e2e, gt_txt, det_txt
             )
+            icdar_mode = True
 
     if args.det:
         d = evaluate_detection(det_frames, args.iou)
@@ -395,7 +397,7 @@ def main():
         )
         return
 
-    if totals.num_gt == 0 and per_video:
+    if icdar_mode:
         # ICDAR/DSText path: the official OVERALL is the MEAN of per-video
         # MOTA/MOTP/IDF1 (Track_video_2_0.py:340-351), counts summed
         n = len(per_video)
