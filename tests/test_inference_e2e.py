@@ -124,3 +124,27 @@ def test_long_video_streams_in_bounded_windows(predictor):
     if all(len(s) > 0 for s in ids_per_frame):
         common = set.intersection(*ids_per_frame)
         assert common, "tracks should persist across window boundaries"
+
+
+def test_predictor_with_pos_embeddings():
+    """NO_POS_EMB=False end-to-end: the predictor's box/time-fed association
+    jits and the tracker's pos-input plumbing (config default is False — only
+    the shipped YAMLs disable it)."""
+    from gomatching_tpu.config import setup_eval_cfg
+    from gomatching_tpu.engine.predictor import VideoPredictor
+
+    cfg = setup_eval_cfg(
+        "configs/GoMatching_ICDAR15.yaml",
+        list(TINY_OPTS) + [
+            "MODEL.ASSO_HEAD.NO_POS_EMB", "False",
+            "MODEL.ASSO_HEAD.WITH_TEMP_EMB", "True",
+        ],
+    )
+    predictor = VideoPredictor(cfg)
+    assert predictor.tracker.use_pos_emb
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (96, 128, 3), dtype=np.uint8) for _ in range(4)]
+    tracked = predictor.process_video(frames)
+    assert len(tracked) == 4
+    for det in tracked:
+        assert len(np.unique(det.track_ids)) == len(det.track_ids)
