@@ -143,7 +143,10 @@ def load_video_json(json_file: str, image_root: str, num_points: int = 25,
         }
         objs = []
         for anno in anns_by_image.get(img["id"], []):
-            if "rec" in anno and anno["rec"] is not None:
+            # truthiness gate like the reference's `if text:` (text.py:204-211):
+            # an empty rec list falls through to encode_text and keeps the
+            # instance as a no-text object instead of being dropped
+            if "rec" in anno and anno["rec"] is not None and len(np.atleast_1d(anno["rec"])):
                 rec = np.asarray(anno["rec"], np.int32)
                 if np.sum(rec != voc_size) == 0:  # entirely padding: no text
                     continue

@@ -175,6 +175,12 @@ class Trainer:
         # is active during training, like the reference's nn.Dropout modules
         # (roi_heads/transformer.py:166-258)
         self.use_dropout = cfg.MODEL.ASSO_HEAD.DROPOUT > 0.0
+        # with NO_POS_EMB=False the reference applies the interpolated box
+        # (+temporal) embeddings in forward_train too (_forward_transformer,
+        # lstmatcher.py:338-346) — mirror that so pos_emb/temp_emb get gradient
+        # and train/infer agree
+        self.use_pos_emb = not model.asso_no_pos_emb
+        self.with_temp_emb = model.asso_with_temp_emb
 
         self._spot = jax.jit(self._spot_fn)
         self._update = jax.jit(self._update_fn)
@@ -227,7 +233,22 @@ class Trainer:
         tokens = reid.reshape(1, T * nq, -1)
         valid = batch["prop_valid"].reshape(1, T * nq)
 
-        long_logits = apply(GoMatchingModel.associate_tokens, tokens, valid, False, train)
+        boxes = batch.get("prop_boxes") if self.use_pos_emb else None  # (T, nq, 4)
+        times = (
+            batch.get("prop_times")
+            if self.use_pos_emb and self.with_temp_emb
+            else None
+        )  # (T, nq)
+
+        long_logits = apply(
+            GoMatchingModel.associate_tokens,
+            tokens,
+            valid,
+            False,
+            train,
+            None if boxes is None else boxes.reshape(1, T * nq, 4),
+            None if times is None else times.reshape(1, T * nq),
+        )
         long_logits = long_logits.reshape(T * nq, T, nq)
         loss_long = asso_ce_loss(
             long_logits,
@@ -245,7 +266,22 @@ class Trainer:
         for t in range(T - 1):
             pair_tokens = reid[t : t + 2].reshape(1, 2 * nq, -1)
             pair_valid = batch["prop_valid"][t : t + 2].reshape(1, 2 * nq)
-            lg = apply(GoMatchingModel.associate_tokens, pair_tokens, pair_valid, True, train)
+            pair_boxes = (
+                None if boxes is None else boxes[t : t + 2].reshape(1, 2 * nq, 4)
+            )
+            # a 2-frame pass has time fractions (0, 1/2), like the inference
+            # tracker's _pos_inputs over [prev, cur]
+            pair_times = (
+                None
+                if times is None
+                else jnp.concatenate(
+                    [jnp.zeros((nq,), jnp.float32), jnp.full((nq,), 0.5, jnp.float32)]
+                ).reshape(1, 2 * nq)
+            )
+            lg = apply(
+                GoMatchingModel.associate_tokens, pair_tokens, pair_valid, True,
+                train, pair_boxes, pair_times,
+            )
             lg = lg.reshape(2 * nq, 2, nq)
             loss_short = loss_short + asso_ce_loss(
                 lg,
@@ -346,7 +382,7 @@ class Trainer:
             asso_gt_pairs[t] = gp
             track_valid_pairs[t] = tv
 
-        return {
+        out = {
             "query_features": spot_out["query_features"],
             "prop_valid": jnp.asarray(prop_valid),
             "res_match_mask": jnp.asarray(res_match_mask),
@@ -357,6 +393,15 @@ class Trainer:
             "asso_gt_pairs": jnp.asarray(asso_gt_pairs),
             "track_valid_pairs": jnp.asarray(track_valid_pairs),
         }
+        if self.use_pos_emb:
+            # normalized xyxy proposal boxes + frame-time fractions for the
+            # interpolated pos-embedding path (boxes are already in [0, 1]
+            # because pred_bd_points are normalized)
+            out["prop_boxes"] = jnp.asarray(boxes, jnp.float32)
+            out["prop_times"] = jnp.asarray(
+                np.broadcast_to((np.arange(T, dtype=np.float32) / T)[:, None], (T, nq)).copy()
+            )
+        return out
 
     # ------------------------------------------------------------------
     def step(self, images: np.ndarray, image_hw, targets: Dict) -> Dict[str, float]:

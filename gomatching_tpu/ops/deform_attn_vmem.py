@@ -1,0 +1,259 @@
+"""Fused VMEM outer-product kernel for tiled encoder deformable attention.
+
+Numerical contract and tiling geometry are exactly ``deform_attn_tiled``
+(grid_sample align_corners=False + zero padding resolved within per-tile
+footprints; reference oracle ``ms_deform_attn_core_pytorch``,
+third_party/adet/layers/ms_deform_attn.py:40-60, and the CUDA kernel it
+shadows, third_party/adet/layers/csrc/ms_deform_attn/ms_deform_im2col_cuda
+.cuh:238). The bilinear/attention one-hot matrix G never touches HBM.
+
+Why this beats both prior forms (docs/PERF_NOTES.md round 3):
+  - vs the XLA tiled path: G is ~1.6 GB/layer/batch; its HBM write + matmul
+    read-back (~8 ms/layer at B=2) IS the measured "matmul floor". Here G
+    lives in a VMEM scratch between the build and the MXU dot.
+  - vs ``deform_attn_fused`` (the round-2 flat-compare kernel): G is built
+    with the outer-product form — two axis one-hots (P, F_axis, Q) built by
+    iota compares, then P fused multiply-accumulates of (Fh, 1, Q) x
+    (1, Fw, Q) slabs — O(P*(Fh+Fw)*Q) compare work + O(P*Fh*Fw*Q) FMAs,
+    instead of O(4*P*Fh*Fw*Q) compare/select chains.
+
+Layout decisions (all shaped by Mosaic lowering rules):
+  - Q rides the lane (minor) dimension everywhere; footprint axes ride
+    sublanes. Level-0 tiles give Q=256 = 2 full vregs per row.
+  - The one-hot builds stay dense (P, F_axis, Q) f32; the (Fh, Q) ->
+    (Fh, 1, Q) slab relayout for the outer product is a single f32
+    minor-dim insert per (head, level) — f32 inserts lower (bf16 wouldn't).
+  - G accumulates in a per-target-level f32 VMEM scratch ref (value-form
+    accumulation keeps every unrolled (Fh, Fw, Q) term live on Mosaic's
+    VMEM stack).
+  - The contraction collapses (Fh, Fw, Q) -> (Fh*Fw, Q) — a MAJOR-dim
+    reshape, which lowers (minor-dim reshapes don't) — and runs ONE
+    dot_general per target level with K = Fh*Fw in [384, 2304]: deep-K,
+    MXU-friendly, unlike per-row (Q, Fw) @ (Fw, D) slivers.
+  - All four target levels run in one kernel so tile coords/attention load
+    once and the output writes once.
+
+Grid is (T, B) with the head loop inside the kernel by default
+(heads_per_step=M): ~560 steps/layer at 1000 px instead of ~4480, so
+per-step grid overhead stays off the critical path. ``heads_per_step=1``
+recovers the (T, B, M) grid for A/B measurement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .deform_attn_tiled import (
+    _DEFAULT_TILES,
+    _footprint_bounds,
+    _level_starts,
+    _pad_level_grids,
+    _tile_queries,
+    _untile_queries,
+)
+
+
+def _kernel(x_ref, y_ref, a_ref, *refs, geom, Mb, P, Q, D, out_dtype):
+    """One (tile, batch) step: for each head, build G per target level in a
+    VMEM scratch via the outer-product one-hot form and contract on the MXU.
+
+    refs = [fp_0..fp_{L-1}, out, g_0..g_{L-1}]. Block shapes (squeezed):
+      x/y/a (L, Mb, P, Q) f32 local target-level coords / attention weights;
+      fp_l (Mb, Fh*Fw, D) compute dtype; out (Mb, Q, D); g_l (Fh, Fw, Q) f32.
+    """
+    L = len(geom)
+    fp_refs = refs[:L]
+    out_ref = refs[L]
+    g_refs = refs[L + 1 :]
+
+    for m in range(Mb):
+        acc = jnp.zeros((Q, D), jnp.float32)
+        for l2, (Fh, Fw) in enumerate(geom):
+            x = x_ref[l2, m]  # (P, Q) local float coords
+            y = y_ref[l2, m]
+            a = a_ref[l2, m]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            dx = (x - x0).reshape(P, 1, Q)
+            dy = (y - y0).reshape(P, 1, Q)
+            xi = x0.astype(jnp.int32).reshape(P, 1, Q)
+            yi = y0.astype(jnp.int32).reshape(P, 1, Q)
+            ix = jax.lax.broadcasted_iota(jnp.int32, (P, Fw, Q), 1)
+            iy = jax.lax.broadcasted_iota(jnp.int32, (P, Fh, Q), 1)
+            xw = jnp.where(ix == xi, 1.0 - dx, 0.0) + jnp.where(ix == xi + 1, dx, 0.0)
+            yw = jnp.where(iy == yi, 1.0 - dy, 0.0) + jnp.where(iy == yi + 1, dy, 0.0)
+            yw = yw * a.reshape(P, 1, Q)
+            yw4 = yw.reshape(P, Fh, 1, Q)  # f32 minor-dim insert: one relayout
+            g = g_refs[l2]
+            for p in range(P):
+                term = yw4[p] * xw[p].reshape(1, Fw, Q)  # (Fh, Fw, Q)
+                if p == 0:
+                    g[...] = term
+                else:
+                    g[...] += term
+            G = g[...].reshape(Fh * Fw, Q).astype(out_dtype)  # major collapse
+            acc = acc + jax.lax.dot_general(
+                G,
+                fp_refs[l2][m],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[m] = acc.astype(out_dtype)
+
+
+def ms_deform_attn_encoder_vmem(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    halo: int = 8,
+    block: int = 8,
+    tile_sizes: Optional[Sequence[int]] = None,
+    heads_per_step: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in equivalent of ``ms_deform_attn_encoder_tiled`` backed by the
+    fused VMEM outer-product kernel. Same arguments/contract (see that
+    docstring); ``heads_per_step`` folds that many heads into one grid step
+    (0 = all M heads)."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert Lq == S, "vmem path requires queries == tokens (encoder self-attn)"
+    out_dtype = value.dtype
+    tiles = list(tile_sizes) if tile_sizes is not None else list(_DEFAULT_TILES[:L])
+    while len(tiles) < L:
+        tiles.append(max(2, tiles[-1] // 2))
+    Mb = M if heads_per_step in (0, M) else heads_per_step
+    assert M % Mb == 0
+    Mg = M // Mb
+
+    grids = _pad_level_grids(value, spatial_shapes, block)
+    starts, _ = _level_starts(spatial_shapes)
+
+    out_levels: List[jnp.ndarray] = []
+    for l, (H1, W1) in enumerate(spatial_shapes):
+        t = tiles[l]
+        ty, tx = min(t, H1), min(t, W1)
+        s = starts[l]
+        loc_t, nty, ntx = _tile_queries(
+            sampling_locations[:, s : s + H1 * W1], H1, W1, ty, tx
+        )  # (T, B, Q, M, L, P, 2)
+        attn_t, _, _ = _tile_queries(
+            attention_weights[:, s : s + H1 * W1], H1, W1, ty, tx
+        )  # (T, B, Q, M, L, P)
+        T, _, Q = loc_t.shape[:3]
+
+        # per-target-level local coords + attention, Q on the minor axis
+        geom: List[Tuple[int, int]] = []
+        xs, ys, as_ = [], [], []
+        fp_arrays: List[jnp.ndarray] = []
+        for l2, (H2, W2) in enumerate(spatial_shapes):
+            Hp2, Wp2 = grids[l2].shape[2], grids[l2].shape[3]
+            oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, block)
+            oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)
+            geom.append((Fh, Fw))
+            oy_t = np.repeat(np.asarray(oys, np.float32), ntx)  # (T,)
+            ox_t = np.tile(np.asarray(oxs, np.float32), nty)
+            xg = loc_t[..., l2, :, 0].astype(jnp.float32) * W2 - 0.5  # (T,B,Q,M,P)
+            yg = loc_t[..., l2, :, 1].astype(jnp.float32) * H2 - 0.5
+            xs.append(xg - jnp.asarray(ox_t).reshape(T, 1, 1, 1, 1))
+            ys.append(yg - jnp.asarray(oy_t).reshape(T, 1, 1, 1, 1))
+            as_.append(attn_t[..., l2, :].astype(jnp.float32))
+
+            is_full = Fh == Hp2 and Fw == Wp2
+            if is_full:
+                # footprint covers the whole padded level: shared across tiles
+                fp_arrays.append(grids[l2].reshape(B, M, Fh * Fw, D).astype(out_dtype))
+            else:
+                rows = jnp.stack(
+                    [
+                        jax.lax.slice_in_dim(grids[l2], int(oy), int(oy) + Fh, axis=2)
+                        for oy in oys
+                    ]
+                )  # (nty, B, M, Fh, Wp, D)
+                fp = jnp.stack(
+                    [
+                        jax.lax.slice_in_dim(rows, int(ox), int(ox) + Fw, axis=4)
+                        for ox in oxs
+                    ],
+                    axis=1,
+                ).reshape(T, B, M, Fh * Fw, D).astype(out_dtype)
+                fp_arrays.append(fp)
+
+        # (T, B, Q, M, P) -> (T, B, L, M, P, Q)
+        def to_kernel_layout(parts):
+            arr = jnp.stack(
+                [jnp.transpose(p, (0, 1, 3, 4, 2)) for p in parts], axis=2
+            )
+            return arr
+
+        x_arr = to_kernel_layout(xs)
+        y_arr = to_kernel_layout(ys)
+        a_arr = to_kernel_layout(as_)
+
+        if Mg > 1:
+            pgrid = (T, B, Mg)
+            qspec = pl.BlockSpec(
+                (None, None, L, Mb, P, Q), lambda t_, b_, m_: (t_, b_, 0, m_, 0, 0)
+            )
+            out_spec = pl.BlockSpec(
+                (None, None, Mb, Q, D), lambda t_, b_, m_: (t_, b_, m_, 0, 0)
+            )
+            fp_specs = [
+                pl.BlockSpec(
+                    (None, Mb, fh * fw, D), lambda t_, b_, m_: (b_, m_, 0, 0)
+                )
+                if fp.ndim == 4
+                else pl.BlockSpec(
+                    (None, None, Mb, fh * fw, D),
+                    lambda t_, b_, m_: (t_, b_, m_, 0, 0),
+                )
+                for fp, (fh, fw) in zip(fp_arrays, geom)
+            ]
+        else:
+            pgrid = (T, B)
+            qspec = pl.BlockSpec(
+                (None, None, L, M, P, Q), lambda t_, b_: (t_, b_, 0, 0, 0, 0)
+            )
+            out_spec = pl.BlockSpec(
+                (None, None, M, Q, D), lambda t_, b_: (t_, b_, 0, 0, 0)
+            )
+            fp_specs = [
+                pl.BlockSpec((None, M, fh * fw, D), lambda t_, b_: (b_, 0, 0, 0))
+                if fp.ndim == 4
+                else pl.BlockSpec(
+                    (None, None, M, fh * fw, D), lambda t_, b_: (t_, b_, 0, 0, 0)
+                )
+                for fp, (fh, fw) in zip(fp_arrays, geom)
+            ]
+
+        kern = functools.partial(
+            _kernel, geom=geom, Mb=Mb, P=P, Q=Q, D=D, out_dtype=out_dtype
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=pgrid,
+            in_specs=[qspec, qspec, qspec] + fp_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((T, B, M, Q, D), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((fh, fw, Q), jnp.float32) for fh, fw in geom
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(x_arr, y_arr, a_arr, *fp_arrays)
+
+        out = jnp.moveaxis(out, 2, 3)  # (T, B, Q, M, D)
+        out_l = _untile_queries(out, nty, ntx, H1, W1, ty, tx)
+        out_levels.append(out_l.reshape(B, H1 * W1, M * D).astype(out_dtype))
+
+    return jnp.concatenate(out_levels, axis=1)

@@ -121,3 +121,36 @@ def test_training_loss_decreases():
     losses = [tr.step(images, None, targets)["total_loss"] for _ in range(15)]
     assert np.isfinite(losses).all()
     assert min(losses[-3:]) < losses[0] * 0.9, losses
+
+
+def test_pos_emb_trains_when_enabled():
+    """With NO_POS_EMB=False (the config/reference default), the learned
+    pos_emb/temp_emb get gradients in training — the same boxes/times the
+    inference tracker feeds reach associate_tokens (lstmatcher.py:338-346)."""
+    from gomatching_tpu.config import setup_train_cfg
+    from gomatching_tpu.engine.predictor import init_params
+    from gomatching_tpu.engine.train import Trainer
+    from gomatching_tpu.models.gomatching import build_model
+
+    cfg = setup_train_cfg(
+        "configs/GoMatching_ICDAR15.yaml",
+        list(TINY_OPTS) + [
+            "MODEL.ASSO_HEAD.NO_POS_EMB", "False",
+            "MODEL.ASSO_HEAD.WITH_TEMP_EMB", "True",
+            "SOLVER.WARMUP_FACTOR", "1.0",
+        ],
+    )
+    model = build_model(cfg)
+    tr = Trainer(cfg, model, init_params(model, image_size=(64, 64)))
+    tracker_params = tr.state.trainable["roi_heads"]
+    assert "pos_emb" in tracker_params and "temp_emb" in tracker_params
+    pos_before = np.asarray(tracker_params["pos_emb"])
+    temp_before = np.asarray(tracker_params["temp_emb"])
+
+    images = np.random.RandomState(0).randn(3, 64, 96, 3).astype(np.float32)
+    targets = make_targets(3, npts=5)
+    m = tr.step(images, None, targets)
+    assert np.isfinite(m["total_loss"])
+    after = tr.state.trainable["roi_heads"]
+    assert np.abs(np.asarray(after["pos_emb"]) - pos_before).max() > 0
+    assert np.abs(np.asarray(after["temp_emb"]) - temp_before).max() > 0

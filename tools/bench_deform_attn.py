@@ -88,6 +88,21 @@ def main():
         ms = timeit(f, (value, loc, attn), args.iters)
         print(f"gather core:  {ms:8.2f} ms/layer")
 
+    if "vmem" in impls:
+        from gomatching_tpu.ops.deform_attn_vmem import ms_deform_attn_encoder_vmem
+
+        for hps in (0, 1):
+            f = jax.jit(
+                lambda v, l, a, hps=hps: ms_deform_attn_encoder_vmem(
+                    v, shapes, l, a, halo=args.halo, heads_per_step=hps
+                )
+            )
+            try:
+                ms = timeit(f, (value, loc, attn), args.iters)
+                print(f"vmem hps={hps}: {ms:8.2f} ms/layer")
+            except Exception as e:
+                print(f"vmem hps={hps}: FAILED {type(e).__name__}: {str(e)[:500]}")
+
     if "tiled" in impls:
         from gomatching_tpu.ops.deform_attn_tiled import ms_deform_attn_encoder_tiled
 

@@ -20,8 +20,9 @@ def get_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--config-file", required=True, metavar="FILE")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--num-gpus", "--num-chips", type=int, default=0, dest="num_chips",
-                   help="data-parallel width (reference --num-gpus parity); 0 = all devices")
+    p.add_argument("--num-gpus", "--num-chips", type=int, default=1, dest="num_chips",
+                   help="data-parallel width; default 1 (single chip, matching the "
+                   "reference CLI's --num-gpus=1); 0 = all visible devices")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--max-iter", type=int, default=-1, help="override for smoke runs")
     p.add_argument(
