@@ -67,8 +67,12 @@ def device_preprocess(raw_u8, target_hw, pixel_mean, pixel_std, input_format="RG
     Why on device: a tunneled TPU moves host bytes at tens of MB/s, so shipping
     fp32 resized frames (~21 MB each at 1000px) costs ~1 s/batch; raw 720p uint8 is
     2.7 MB/frame, and bilinear resize + normalize are effectively free on the VPU.
-    jax.image 'bilinear' uses half-pixel centers like PIL/cv2; for the upscale case
-    used by every GoMatching config this matches PIL BILINEAR semantics.
+    jax.image 'bilinear' uses half-pixel centers like PIL/cv2. PIL BILINEAR
+    *antialiases on downscale* (the triangle filter support is scaled by the
+    inverse scale factor) — jax.image.resize(antialias=True) applies the same
+    scaled-support convention, and for upscale antialias has no effect on a
+    linear kernel, so antialias=True matches PIL in both regimes (>=1080p
+    datasets like DSText/BOVText DOWNSCALE to MIN_SIZE_TEST=1000).
     """
     import jax
     import jax.numpy as jnp
@@ -79,7 +83,7 @@ def device_preprocess(raw_u8, target_hw, pixel_mean, pixel_std, input_format="RG
     B = x.shape[0]
     h, w = target_hw
     if (x.shape[1], x.shape[2]) != (h, w):
-        x = jax.image.resize(x, (B, h, w, 3), method="bilinear", antialias=False)
+        x = jax.image.resize(x, (B, h, w, 3), method="bilinear", antialias=True)
     mean = jnp.asarray(pixel_mean, jnp.float32)
     std = jnp.asarray(pixel_std, jnp.float32)
     return (x - mean) / std

@@ -324,6 +324,11 @@ class VideoPredictor:
             cache = self.tracker.precompute_short_asso(list(zip(prevs, dets[len(dets) - len(prevs):])))
             self.tracker.time_cost["short_match"] += time.time() - t0
             t0 = time.time()
+            # speculative batched window re-matches (exact-key cache; misses
+            # fall back to per-frame calls inside step)
+            self.tracker.precompute_long_asso(dets, cache)
+            self.tracker.time_cost["long_match"] += time.time() - t0
+            t0 = time.time()
             for det in dets:
                 self.tracker.step(det, short_asso_cache=cache)
             tc["tracker"] = tc.get("tracker", 0) + time.time() - t0

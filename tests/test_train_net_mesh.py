@@ -166,3 +166,38 @@ def test_train_net_main_on_mesh(tmp_path, monkeypatch):
     # metrics.json may be empty (log_every=20 > 3 iters) but checkpoints must exist
     ckpts = os.listdir(os.path.join(out_dir, "checkpoints"))
     assert any(f.endswith("_rescore.npz") for f in ckpts), ckpts
+
+
+def test_step_multi_spot_phase_is_one_sharded_dispatch(setup):
+    """The spot phase must run as ONE vmapped dispatch with the clip axis
+    sharded over 'data' (the DDP-concurrent per-GPU forward, reference
+    train_net.py:186-191) — not N sequential replicated passes."""
+    from gomatching_tpu.engine.train import Trainer
+    from gomatching_tpu.parallel import build_mesh
+
+    cfg, model, params = setup
+    n = 8
+    clips = [_clip(seed + 100) for seed in range(n)]
+    mesh = build_mesh(devices=jax.devices()[:n])
+    tr = Trainer(cfg, model, params, mesh=mesh)
+
+    calls = {"multi": 0, "single": 0}
+    tr._build_sharded_update()
+    tr.shard_state()
+    orig_multi = tr._spot_multi
+
+    def counting_multi(fr, tn, imgs, hws):
+        calls["multi"] += 1
+        # clip axis genuinely sharded over the mesh
+        assert imgs.shape[0] == n
+        shard_shapes = {s.data.shape for s in imgs.addressable_shards}
+        assert shard_shapes == {(1,) + imgs.shape[1:]}
+        return orig_multi(fr, tn, imgs, hws)
+
+    tr._spot_multi = counting_multi
+    tr._spot = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("per-clip replicated spot pass used in step_multi")
+    )
+    metrics = tr.step_multi(clips)
+    assert calls["multi"] == 1
+    assert np.isfinite(metrics["total_loss"])
