@@ -334,7 +334,11 @@ class MOTAccumulator:
         hyp_ids: List,
         hyp_quads: np.ndarray,
         texts: Optional[Tuple[List[str], List[str]]] = None,
+        iou_matrix: Optional[np.ndarray] = None,
     ):
+        """``iou_matrix``: optional precomputed (G, H) overlap matrix (e.g. the
+        ArTVideo rasterized mask IoU, eval_trk.py:92-99) — the polygon IoU and
+        text gating are skipped; the caller zeroes invalid pairs itself."""
         G, H = len(gt_ids), len(hyp_ids)
         self.num_gt += G
         self.num_hyp += H
@@ -345,7 +349,11 @@ class MOTAccumulator:
 
         # polygons may have per-instance vertex counts (ArTVideo curved text);
         # quads are just the 4-vertex special case
-        iou = poly_iou_matrix(gt_quads, hyp_quads) if G and H else np.zeros((G, H))
+        if iou_matrix is not None:
+            iou = np.asarray(iou_matrix, np.float64).reshape(G, H)
+            texts = None
+        else:
+            iou = poly_iou_matrix(gt_quads, hyp_quads) if G and H else np.zeros((G, H))
         if texts is not None and G and H:
             # E2E spotting: transcription must also match. Exact match for the
             # ICDAR protocols; the BOVText protocol accepts normalized-edit-
@@ -463,11 +471,15 @@ class MOTAccumulator:
             "MOTA": mota,
             "MOTP": motp,
             "IDF1": idf1,
+            "IDP": idtp / sum_hyp if sum_hyp else 0.0,
+            "IDR": idtp / sum_gt if sum_gt else 0.0,
             "IDSW": self.num_switches,
             "FP": self.num_fp,
             "FN": self.num_misses,
             "MT": mt,
             "PT": pt,
             "ML": ml,
+            "precision": self.num_matches / self.num_hyp if self.num_hyp else 0.0,
+            "recall": self.num_matches / self.num_gt if self.num_gt else 0.0,
             "num_gt": self.num_gt,
         }

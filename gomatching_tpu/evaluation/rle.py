@@ -47,7 +47,8 @@ def _counts_to_string(counts: List[int]) -> bytes:
         while more:
             c = x & 0x1F
             x >>= 5
-            more = bool(c & 0x10) if x == -1 else x != 0
+            # maskApi.c rleToString: more = (c & 0x10) ? x != -1 : x != 0
+            more = (x != -1) if (c & 0x10) else (x != 0)
             if more:
                 c |= 0x20
             out.append(c + 48)

@@ -150,22 +150,18 @@ def ms_deform_attn_encoder_vmem(
         )  # (T, B, Q, M, L, P)
         T, _, Q = loc_t.shape[:3]
 
-        # per-target-level local coords + attention, Q on the minor axis
+        # static footprint geometry + per-tile origins
         geom: List[Tuple[int, int]] = []
-        xs, ys, as_ = [], [], []
+        oy_np = np.zeros((L, T), np.float32)
+        ox_np = np.zeros((L, T), np.float32)
         fp_arrays: List[jnp.ndarray] = []
         for l2, (H2, W2) in enumerate(spatial_shapes):
             Hp2, Wp2 = grids[l2].shape[2], grids[l2].shape[3]
             oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, block)
             oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)
             geom.append((Fh, Fw))
-            oy_t = np.repeat(np.asarray(oys, np.float32), ntx)  # (T,)
-            ox_t = np.tile(np.asarray(oxs, np.float32), nty)
-            xg = loc_t[..., l2, :, 0].astype(jnp.float32) * W2 - 0.5  # (T,B,Q,M,P)
-            yg = loc_t[..., l2, :, 1].astype(jnp.float32) * H2 - 0.5
-            xs.append(xg - jnp.asarray(ox_t).reshape(T, 1, 1, 1, 1))
-            ys.append(yg - jnp.asarray(oy_t).reshape(T, 1, 1, 1, 1))
-            as_.append(attn_t[..., l2, :].astype(jnp.float32))
+            oy_np[l2] = np.repeat(np.asarray(oys, np.float32), ntx)
+            ox_np[l2] = np.tile(np.asarray(oxs, np.float32), nty)
 
             is_full = Fh == Hp2 and Fw == Wp2
             if is_full:
@@ -187,16 +183,21 @@ def ms_deform_attn_encoder_vmem(
                 ).reshape(T, B, M, Fh * Fw, D).astype(out_dtype)
                 fp_arrays.append(fp)
 
-        # (T, B, Q, M, P) -> (T, B, L, M, P, Q)
-        def to_kernel_layout(parts):
-            arr = jnp.stack(
-                [jnp.transpose(p, (0, 1, 3, 4, 2)) for p in parts], axis=2
-            )
-            return arr
-
-        x_arr = to_kernel_layout(xs)
-        y_arr = to_kernel_layout(ys)
-        a_arr = to_kernel_layout(as_)
+        # local target-level coords + attention, Q on the minor axis:
+        # ONE transpose each for loc/attn, then one fused elementwise pass
+        # (the per-target-level slice+transpose+stack form cost ~6 ms/layer)
+        wh = np.asarray([[w2, h2] for h2, w2 in spatial_shapes], np.float32)  # (L, 2)
+        arr = jnp.transpose(loc_t, (0, 1, 4, 3, 5, 6, 2)).astype(jnp.float32)
+        # (T, B, L, M, P, 2, Q)
+        scale = jnp.asarray(wh).reshape(1, 1, L, 1, 1, 2, 1)
+        origin = jnp.stack(
+            [jnp.asarray(ox_np), jnp.asarray(oy_np)], axis=-1
+        )  # (L, T, 2)
+        origin = jnp.transpose(origin, (1, 0, 2)).reshape(T, 1, L, 1, 1, 2, 1)
+        xy = arr * scale - 0.5 - origin
+        x_arr = xy[..., 0, :]  # (T, B, L, M, P, Q)
+        y_arr = xy[..., 1, :]
+        a_arr = jnp.transpose(attn_t, (0, 1, 4, 3, 5, 2)).astype(jnp.float32)
 
         if Mg > 1:
             pgrid = (T, B, Mg)

@@ -96,6 +96,134 @@ def parse_artvideo_json(path, only_curve: bool = False):
     return frames
 
 
+def parse_artvideo_json_full(path):
+    """ArTVideo GT json -> ((img_h, img_w), n_frames, {frame_id: [ann dicts]}).
+
+    Keeps everything the official scorers touch (eval_trk.py:132-155 /
+    eval_e2e.py:135-155): int32-cast points, the decoded RLE mask (or a
+    cv2-rasterized fallback when 'segmentation' is absent), obj id, text_type
+    and transcription."""
+    import json as _json
+
+    import cv2
+
+    from gomatching_tpu.evaluation.rle import decode as rle_decode
+
+    with open(path, encoding="utf-8") as f:
+        data = _json.load(f)
+    img_h = data["frame"][0]["height"]
+    img_w = data["frame"][0]["width"]
+    n_frames = len(data["frame"])
+    frames = {}
+    for ann in data.get("annotations", []):
+        fid = int(ann["frame_id"])
+        pts = np.array(ann["point"], dtype=np.float32).astype(np.int32).reshape(-1)
+        if "segmentation" in ann:
+            mask = rle_decode(ann["segmentation"])
+        else:
+            mask = np.zeros((img_h, img_w), np.uint8)
+            cv2.fillPoly(mask, [pts.reshape(-1, 2)], 1)
+        frames.setdefault(fid, []).append(
+            {
+                "points": pts,
+                "mask": mask,
+                "ID": int(ann["obj_id"]),
+                "text_type": ann.get("text_type", ""),
+                "transcription": ann.get("Transcription", ann.get("transcription", "")),
+            }
+        )
+    return (img_h, img_w), n_frames, frames
+
+
+def _artvideo_mask_iou(m1, m2):
+    """Official rasterized mask IoU (eval_trk.py:92-99)."""
+    import cv2
+
+    inter = int(cv2.bitwise_and(m1, m2).sum())
+    if inter < 1:
+        return 0.0
+    return inter / int(cv2.bitwise_or(m1, m2).sum())
+
+
+_ARV_KEEP = None  # compiled lazily (official cleaning regex, eval_e2e.py:111-114)
+
+
+def _artvideo_clean(t: str) -> str:
+    import re as _re
+
+    global _ARV_KEEP
+    if _ARV_KEEP is None:
+        _ARV_KEEP = _re.compile("([^一-龥0-9A-Za-z])")
+    return _ARV_KEEP.sub("", t).lower()
+
+
+def _artvideo_similarity(a: str, b: str) -> float:
+    """cal_similarity (eval_trk.py:66-72): empty==empty -> 1, edit distance 1
+    -> 0.95, else 1 - dist/maxlen."""
+    from gomatching_tpu.evaluation.mot_metrics import levenshtein
+
+    if a == "" and b == "":
+        return 1.0
+    d = levenshtein(a, b)
+    if d == 1:
+        return 0.95
+    return 1 - d / max(len(a), len(b))
+
+
+def evaluate_video_artvideo(gt_path, res_frames, iou_threshold=0.5, e2e=False,
+                            only_curve=False):
+    """One video under the OFFICIAL ArTVideo protocol (eval_trk.py /
+    eval_e2e.py): rasterized mask IoU, dist=IoU fed to the (minimizing)
+    accumulator, ignore regions = Straight text under --curve (tracking) plus
+    '###'/'#1' transcriptions (e2e), prediction pre-filter by mask overlap
+    with ignores, and the cal_similarity>=0.9 transcription gate (e2e).
+
+    ``res_frames``: {frame_id: (ids, [flat polygons], transcriptions)} — our
+    writer's XML parse; polygons are rasterized exactly like the official
+    points branch (eval_trk.py:236-239)."""
+    import cv2
+
+    (img_h, img_w), n_frames, gt_frames = parse_artvideo_json_full(gt_path)
+    acc = MOTAccumulator(iou_threshold=iou_threshold, match_lowest_iou=True)
+    for frame_id in range(1, n_frames + 1):
+        gts, ignored = [], []
+        for gt in gt_frames.get(frame_id, []):
+            if e2e:
+                ign = gt["transcription"] in ("###", "#1") or (
+                    only_curve and gt["text_type"] == "Straight"
+                )
+            else:
+                ign = only_curve and gt["text_type"] == "Straight"
+            (ignored if ign else gts).append(gt)
+
+        h_ids, h_masks, h_txts = [], [], []
+        ids, polys, txts = res_frames.get(frame_id, ([], [], []))
+        for hid, poly, txt in zip(ids, polys, txts):
+            pts = np.array(poly, dtype=np.float32).astype(np.int32).reshape(-1, 2)
+            mask = np.zeros((img_h, img_w), np.uint8)
+            cv2.fillPoly(mask, [pts], 1)
+            if any(_artvideo_mask_iou(mask, ig["mask"]) > iou_threshold for ig in ignored):
+                continue
+            h_ids.append(hid)
+            h_masks.append(mask)
+            h_txts.append(txt)
+
+        G, H = len(gts), len(h_ids)
+        iou = np.zeros((G, H))
+        for i, gt in enumerate(gts):
+            for j in range(H):
+                v = _artvideo_mask_iou(gt["mask"], h_masks[j])
+                if v < iou_threshold:
+                    v = 0.0  # official NaN == unmatchable
+                elif e2e and _artvideo_similarity(
+                    _artvideo_clean(gt["transcription"]), _artvideo_clean(h_txts[j])
+                ) < 0.9:
+                    v = 0.0
+                iou[i, j] = v
+        acc.update([g["ID"] for g in gts], None, list(h_ids), None, iou_matrix=iou)
+    return acc
+
+
 def parse_track_texts(path):
     """'"ID","Transcription"' lines (the official per-track txt format,
     E2E_video_2_0.py:205-219 / our writer.write_track_transcriptions)."""
@@ -365,10 +493,14 @@ def main():
                 det_frames.append((g_polys, g_txts, h_polys))
             continue
         if artvideo:
-            # ArTVideo's official scorer feeds dist = IoU to motmetrics, which
-            # then MINIMIZES IoU among valid pairs (eval_trk.py:101-118)
-            acc = evaluate_video(gt_frames, res_frames, args.iou, args.e2e,
-                                 args.text_sim, match_lowest_iou=True)
+            # ArTVideo's official scorer rasterizes masks and feeds dist = IoU
+            # to motmetrics, which then MINIMIZES IoU among valid pairs
+            # (eval_trk.py:92-118); cross-validated verbatim in
+            # tests/test_artvideo_protocol.py
+            acc = evaluate_video_artvideo(
+                os.path.join(args.gt, name), res_frames, args.iou, args.e2e,
+                only_curve=args.curve,
+            )
             per_video[video] = acc.metrics()
             _merge_into(totals, acc, video)
         else:
