@@ -36,6 +36,7 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
     spot_batch = int(os.environ.get("BENCH_BATCH", "2"))
     precision = os.environ.get("BENCH_PRECISION", "bfloat16")
+    impl = os.environ.get("BENCH_IMPL", "")  # override TPU.SAMPLING_IMPL
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
@@ -51,7 +52,8 @@ def main():
             "MODEL.WEIGHTS", "''",
             "TPU.SPOT_BATCH", str(spot_batch),
             "MODEL.PRECISION", precision,
-        ],
+        ]
+        + (["TPU.SAMPLING_IMPL", impl] if impl else []),
     )
     predictor = VideoPredictor(cfg)
 

@@ -388,11 +388,12 @@ def get_cfg() -> CfgNode:
     r.MAX_INST = 100  # static per-frame instance capacity after thresholding
     r.MAX_GT = 60  # static per-image GT capacity for pretraining targets
     r.PAD_TO = 32  # frame padding multiple for static feature shapes
-    # deformable-attention sampling implementation: 'tiled' (one-hot MXU encoder
-    # path, exact within TILED_HALO target cells of the query - the production
-    # default, see ops/deform_attn_tiled.py), 'xla' (gather-based, exact,
-    # works everywhere), or 'pallas' (fused VMEM-gather kernel; requires a
-    # Mosaic-capable toolchain - see ops/deform_attn_pallas.py)
+    # deformable-attention sampling implementation: 'vmem' (fused VMEM
+    # outer-product Pallas kernel for the encoder, exact within TILED_HALO
+    # target cells of the query - see ops/deform_attn_vmem.py), 'tiled'
+    # (XLA one-hot MXU encoder path, same exactness contract,
+    # ops/deform_attn_tiled.py), 'xla' (gather-based, exact, works
+    # everywhere), or 'pallas' (VMEM-gather kernel; ops/deform_attn_pallas.py)
     r.SAMPLING_IMPL = "tiled"
     # max |sampling offset| (target-level cells) resolved exactly by the tiled
     # path; size it with ops.deform_attn_tiled.deform_attn_dropped_mass.

@@ -17,6 +17,7 @@ Stage wall-clock is tracked in the same ``time_cost`` buckets the reference prin
 
 from __future__ import annotations
 
+import sys
 import time
 from functools import partial
 from typing import Dict, List, Optional
@@ -161,8 +162,36 @@ class VideoPredictor:
             if os.path.exists(path):
                 from .checkpoint import load_params
 
-                return load_params(path)
+                params = load_params(path)
+                self._warn_halo_risk(cfg, params)
+                return params
         return init_params(self.model)
+
+    @staticmethod
+    def _warn_halo_risk(cfg, params):
+        """Loaded (trained) weights can have learned sampling offsets beyond
+        TILED_HALO, silently degrading the tiled/vmem samplers' exactness. The
+        offset bias is in target-cell units — a cheap necessary signal (the
+        data-dependent part needs tools/certify_halo.py on real frames)."""
+        if cfg.TPU.SAMPLING_IMPL not in ("tiled", "vmem"):
+            return
+        import jax
+
+        halo = cfg.TPU.TILED_HALO
+        worst = 0.0
+        for path_k, leaf in jax.tree_util.tree_leaves_with_path(params):
+            keys = "/".join(str(getattr(p, "key", p)) for p in path_k)
+            if "sampling_offsets" in keys and keys.endswith("bias"):
+                worst = max(worst, float(abs(np.asarray(leaf)).max()))
+        if worst > halo:
+            print(
+                f"WARNING: checkpoint sampling-offset bias reaches {worst:.1f} "
+                f"target cells > TPU.TILED_HALO={halo}; the tiled/vmem encoder "
+                "sampler drops attention mass beyond the halo. Run "
+                "tools/certify_halo.py on real frames, then raise TPU.TILED_HALO "
+                "or set TPU.SAMPLING_IMPL=xla.",
+                file=sys.stderr,
+            )
 
     def _raw_spot_fn(self, orig_hw: tuple, target_hw: tuple):
         """Jitted uint8-raw-frames -> detections fn (resize+normalize on device);

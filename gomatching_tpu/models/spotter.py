@@ -114,10 +114,37 @@ class MSDeformAttn(nn.Module):
         wh = jnp.asarray([[w, h] for h, w in spatial_shapes], dtype=jnp.float32)  # (L, 2)
         loc = reference_points[:, :, None, :, None, :] + offsets / wh[None, None, None, :, None, :]
 
+        if is_encoder_self_attn:
+            # calibration hook: apply(..., mutable=["intermediates"]) captures
+            # per-layer sampling geometry for halo certification
+            # (tools/certify_halo.py; ops.deform_attn_tiled.deform_attn_dropped_mass)
+            self.sow("intermediates", "sampling_loc", loc)
+            self.sow("intermediates", "sampling_attn", attn)
+
         if self.sampling_impl == "pallas":
             from .. ops.deform_attn_pallas import ms_deform_attn_pallas
 
             out = ms_deform_attn_pallas(value, spatial_shapes, loc, attn)
+        elif (
+            self.sampling_impl == "vmem"
+            and is_encoder_self_attn
+            and token_valid is None
+        ):
+            # fused VMEM outer-product kernel (ops/deform_attn_vmem.py): same
+            # exactness contract as 'tiled' (resolved within the halo) with G
+            # built on-chip; interpret mode keeps CPU tests running
+            assert Lq == value.shape[1]
+            from ..ops.deform_attn_vmem import ms_deform_attn_encoder_vmem
+
+            # interpret off the TPU — incl. init traces pinned to the host CPU
+            # via jax.default_device (init_params), where default_backend()
+            # still reports the accelerator
+            dd = jax.config.jax_default_device
+            on_tpu = (dd.platform if dd is not None else jax.default_backend()) == "tpu"
+            out = ms_deform_attn_encoder_vmem(
+                value, spatial_shapes, loc, attn, halo=self.tiled_halo,
+                interpret=not on_tpu,
+            )
         elif (
             self.sampling_impl == "tiled"
             and is_encoder_self_attn

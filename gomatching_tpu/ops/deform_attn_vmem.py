@@ -5,17 +5,23 @@ Numerical contract and tiling geometry are exactly ``deform_attn_tiled``
 footprints; reference oracle ``ms_deform_attn_core_pytorch``,
 third_party/adet/layers/ms_deform_attn.py:40-60, and the CUDA kernel it
 shadows, third_party/adet/layers/csrc/ms_deform_attn/ms_deform_im2col_cuda
-.cuh:238). The bilinear/attention one-hot matrix G never touches HBM.
+.cuh:238). The bilinear/attention one-hot matrix G never touches HBM, and the
+footprint value blocks are windowed straight out of the padded level grids by
+the Pallas pipeline — nothing but the per-tile outputs is materialized.
 
 Why this beats both prior forms (docs/PERF_NOTES.md round 3):
   - vs the XLA tiled path: G is ~1.6 GB/layer/batch; its HBM write + matmul
     read-back (~8 ms/layer at B=2) IS the measured "matmul floor". Here G
-    lives in a VMEM scratch between the build and the MXU dot.
+    lives in a VMEM scratch between the build and the MXU dot. The XLA
+    path's footprint extraction (slice+stack, ~16 ms/layer at B=2) is
+    replaced by ``pl.Element`` windows at scalar-prefetched per-tile origins
+    — the DMA engine reads each footprint directly from the (B, M, Hp, Wp,
+    D) grid.
   - vs ``deform_attn_fused`` (the round-2 flat-compare kernel): G is built
-    with the outer-product form — two axis one-hots (P, F_axis, Q) built by
-    iota compares, then P fused multiply-accumulates of (Fh, 1, Q) x
-    (1, Fw, Q) slabs — O(P*(Fh+Fw)*Q) compare work + O(P*Fh*Fw*Q) FMAs,
-    instead of O(4*P*Fh*Fw*Q) compare/select chains.
+    with the outer-product form — two axis one-hots built by iota compares,
+    then P fused multiply-accumulates of (Fh, 1, Q) x (1, Fw, Q) slabs —
+    O(P*(Fh+Fw)*Q) compare work + O(P*Fh*Fw*Q) FMAs instead of
+    O(4*P*Fh*Fw*Q) compare/select chains.
 
 Layout decisions (all shaped by Mosaic lowering rules):
   - Q rides the lane (minor) dimension everywhere; footprint axes ride
@@ -32,6 +38,8 @@ Layout decisions (all shaped by Mosaic lowering rules):
     MXU-friendly, unlike per-row (Q, Fw) @ (Fw, D) slivers.
   - All four target levels run in one kernel so tile coords/attention load
     once and the output writes once.
+  - Footprint window offsets carry ``pl.multiple_of(_, block)`` hints —
+    Mosaic must prove sublane-tile divisibility for Element windows.
 
 Grid is (T, B) with the head loop inside the kernel by default
 (heads_per_step=M): ~560 steps/layer at 1000 px instead of ~4480, so
@@ -60,13 +68,15 @@ from .deform_attn_tiled import (
 )
 
 
-def _kernel(x_ref, y_ref, a_ref, *refs, geom, Mb, P, Q, D, out_dtype):
+def _kernel(org_ref, x_ref, y_ref, a_ref, *refs, geom, Mb, P, Q, D, out_dtype):
     """One (tile, batch) step: for each head, build G per target level in a
     VMEM scratch via the outer-product one-hot form and contract on the MXU.
 
     refs = [fp_0..fp_{L-1}, out, g_0..g_{L-1}]. Block shapes (squeezed):
       x/y/a (L, Mb, P, Q) f32 local target-level coords / attention weights;
-      fp_l (Mb, Fh*Fw, D) compute dtype; out (Mb, Q, D); g_l (Fh, Fw, Q) f32.
+      fp_l (1, Mb, Fh, Fw, D) Element-windowed grid block; out (Mb, Q, D);
+      g_l (Fh, Fw, Q) f32 scratch. ``org_ref`` is the scalar-prefetch origin
+      table, only consumed by the index maps.
     """
     L = len(geom)
     fp_refs = refs[:L]
@@ -99,9 +109,10 @@ def _kernel(x_ref, y_ref, a_ref, *refs, geom, Mb, P, Q, D, out_dtype):
                 else:
                     g[...] += term
             G = g[...].reshape(Fh * Fw, Q).astype(out_dtype)  # major collapse
+            V = fp_refs[l2][0, m].reshape(Fh * Fw, D)
             acc = acc + jax.lax.dot_general(
                 G,
-                fp_refs[l2][m],
+                V,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -150,38 +161,17 @@ def ms_deform_attn_encoder_vmem(
         )  # (T, B, Q, M, L, P)
         T, _, Q = loc_t.shape[:3]
 
-        # static footprint geometry + per-tile origins
+        # static footprint geometry + per-tile origins (block-aligned)
         geom: List[Tuple[int, int]] = []
-        oy_np = np.zeros((L, T), np.float32)
-        ox_np = np.zeros((L, T), np.float32)
-        fp_arrays: List[jnp.ndarray] = []
+        oy_np = np.zeros((L, T), np.int32)
+        ox_np = np.zeros((L, T), np.int32)
         for l2, (H2, W2) in enumerate(spatial_shapes):
             Hp2, Wp2 = grids[l2].shape[2], grids[l2].shape[3]
             oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, block)
             oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)
             geom.append((Fh, Fw))
-            oy_np[l2] = np.repeat(np.asarray(oys, np.float32), ntx)
-            ox_np[l2] = np.tile(np.asarray(oxs, np.float32), nty)
-
-            is_full = Fh == Hp2 and Fw == Wp2
-            if is_full:
-                # footprint covers the whole padded level: shared across tiles
-                fp_arrays.append(grids[l2].reshape(B, M, Fh * Fw, D).astype(out_dtype))
-            else:
-                rows = jnp.stack(
-                    [
-                        jax.lax.slice_in_dim(grids[l2], int(oy), int(oy) + Fh, axis=2)
-                        for oy in oys
-                    ]
-                )  # (nty, B, M, Fh, Wp, D)
-                fp = jnp.stack(
-                    [
-                        jax.lax.slice_in_dim(rows, int(ox), int(ox) + Fw, axis=4)
-                        for ox in oxs
-                    ],
-                    axis=1,
-                ).reshape(T, B, M, Fh * Fw, D).astype(out_dtype)
-                fp_arrays.append(fp)
+            oy_np[l2] = np.repeat(np.asarray(oys, np.int32), ntx)
+            ox_np[l2] = np.tile(np.asarray(oxs, np.int32), nty)
 
         # local target-level coords + attention, Q on the minor axis:
         # ONE transpose each for loc/attn, then one fused elementwise pass
@@ -191,7 +181,8 @@ def ms_deform_attn_encoder_vmem(
         # (T, B, L, M, P, 2, Q)
         scale = jnp.asarray(wh).reshape(1, 1, L, 1, 1, 2, 1)
         origin = jnp.stack(
-            [jnp.asarray(ox_np), jnp.asarray(oy_np)], axis=-1
+            [jnp.asarray(ox_np, jnp.float32), jnp.asarray(oy_np, jnp.float32)],
+            axis=-1,
         )  # (L, T, 2)
         origin = jnp.transpose(origin, (1, 0, 2)).reshape(T, 1, L, 1, 1, 2, 1)
         xy = arr * scale - 0.5 - origin
@@ -199,59 +190,83 @@ def ms_deform_attn_encoder_vmem(
         y_arr = xy[..., 1, :]
         a_arr = jnp.transpose(attn_t, (0, 1, 4, 3, 5, 2)).astype(jnp.float32)
 
+        # scalar-prefetched origin table consumed by the fp index maps
+        org = jnp.asarray(np.stack([oy_np, ox_np], axis=0).reshape(2 * L, T))
+
         if Mg > 1:
             pgrid = (T, B, Mg)
+
+            def fp_spec(l2, Fh, Fw):  # noqa: F811
+                def idx(t_, b_, m_, org_ref):
+                    return (
+                        b_,
+                        m_ * Mb,
+                        pl.multiple_of(org_ref[l2, t_], block),
+                        pl.multiple_of(org_ref[L + l2, t_], block),
+                        0,
+                    )
+
+                return pl.BlockSpec(
+                    (pl.Element(1), pl.Element(Mb), pl.Element(Fh),
+                     pl.Element(Fw), pl.Element(D)),
+                    idx,
+                )
+
             qspec = pl.BlockSpec(
-                (None, None, L, Mb, P, Q), lambda t_, b_, m_: (t_, b_, 0, m_, 0, 0)
+                (None, None, L, Mb, P, Q),
+                lambda t_, b_, m_, org_ref: (t_, b_, 0, m_, 0, 0),
             )
             out_spec = pl.BlockSpec(
-                (None, None, Mb, Q, D), lambda t_, b_, m_: (t_, b_, m_, 0, 0)
+                (None, None, Mb, Q, D),
+                lambda t_, b_, m_, org_ref: (t_, b_, m_, 0, 0),
             )
-            fp_specs = [
-                pl.BlockSpec(
-                    (None, Mb, fh * fw, D), lambda t_, b_, m_: (b_, m_, 0, 0)
-                )
-                if fp.ndim == 4
-                else pl.BlockSpec(
-                    (None, None, Mb, fh * fw, D),
-                    lambda t_, b_, m_: (t_, b_, m_, 0, 0),
-                )
-                for fp, (fh, fw) in zip(fp_arrays, geom)
-            ]
         else:
             pgrid = (T, B)
+
+            def fp_spec(l2, Fh, Fw):  # noqa: F811
+                def idx(t_, b_, org_ref):
+                    return (
+                        b_,
+                        0,
+                        pl.multiple_of(org_ref[l2, t_], block),
+                        pl.multiple_of(org_ref[L + l2, t_], block),
+                        0,
+                    )
+
+                return pl.BlockSpec(
+                    (pl.Element(1), pl.Element(M), pl.Element(Fh),
+                     pl.Element(Fw), pl.Element(D)),
+                    idx,
+                )
+
             qspec = pl.BlockSpec(
-                (None, None, L, M, P, Q), lambda t_, b_: (t_, b_, 0, 0, 0, 0)
+                (None, None, L, M, P, Q),
+                lambda t_, b_, org_ref: (t_, b_, 0, 0, 0, 0),
             )
             out_spec = pl.BlockSpec(
-                (None, None, M, Q, D), lambda t_, b_: (t_, b_, 0, 0, 0)
+                (None, None, M, Q, D), lambda t_, b_, org_ref: (t_, b_, 0, 0, 0)
             )
-            fp_specs = [
-                pl.BlockSpec((None, M, fh * fw, D), lambda t_, b_: (b_, 0, 0, 0))
-                if fp.ndim == 4
-                else pl.BlockSpec(
-                    (None, None, M, fh * fw, D), lambda t_, b_: (t_, b_, 0, 0, 0)
-                )
-                for fp, (fh, fw) in zip(fp_arrays, geom)
-            ]
 
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=pgrid,
+            in_specs=[qspec, qspec, qspec]
+            + [fp_spec(l2, fh, fw) for l2, (fh, fw) in enumerate(geom)],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((fh, fw, Q), jnp.float32) for fh, fw in geom],
+        )
         kern = functools.partial(
             _kernel, geom=geom, Mb=Mb, P=P, Q=Q, D=D, out_dtype=out_dtype
         )
         out = pl.pallas_call(
             kern,
-            grid=pgrid,
-            in_specs=[qspec, qspec, qspec] + fp_specs,
-            out_specs=out_spec,
+            grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((T, B, M, Q, D), out_dtype),
-            scratch_shapes=[
-                pltpu.VMEM((fh, fw, Q), jnp.float32) for fh, fw in geom
-            ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
-        )(x_arr, y_arr, a_arr, *fp_arrays)
+        )(org, x_arr, y_arr, a_arr, *[g.astype(out_dtype) for g in grids])
 
         out = jnp.moveaxis(out, 2, 3)  # (T, B, Q, M, D)
         out_l = _untile_queries(out, nty, ntx, H1, W1, ty, tx)

@@ -270,14 +270,32 @@ class Tracker:
         ``short_cache`` must come from ``precompute_short_asso`` over the same
         block (the simulation replays the short-term passes from it without
         device calls).
+
+        The simulation runs in ROUNDS: each round replays the block consuming
+        the cache filled so far (so cached re-matches produce their REAL
+        outcome, revivals included) and records the requests it still cannot
+        answer; those are batch-fetched and the next round re-simulates. At
+        convergence (no new requests) the simulated pass is identical to the
+        real pass, so every real _long_term call hits the cache even on
+        revival-heavy streams.
         """
         self._long_cache = {}
         if not dets:
             return
+        for _ in range(4):  # cascade depth cap; residual misses fall back
+            requests = self._simulate_long_requests(dets, short_cache)
+            if not requests:
+                return
+            self._batch_long_requests(requests)
+
+    def _simulate_long_requests(self, dets, short_cache):
+        """One simulation round: replay the block against the current cache;
+        return the long-term matcher requests not yet cached."""
         sim_frames: List[FrameDetections] = list(self.frames)
         origs: List[FrameDetections] = list(self.frames)
         sim_id_count = self.id_count
-        requests = []  # (key, n_t, feats (N, F), frames_for_pos, keeps)
+        requests = []  # (key, n_t, feats (N, F), frames_for_pos)
+        seen = set()
         for det in dets:
             sdet = FrameDetections(
                 boxes=det.boxes, scores=det.scores, ctrl_points=det.ctrl_points,
@@ -304,8 +322,53 @@ class Tracker:
             window = sim_frames[win_st : frame_id + 1]
             keeps = self._long_term_keeps(window)
             reid_idx = keeps[-1]
-            if reid_idx.any():
-                key = self._long_key(origs[win_st : frame_id + 1], keeps)
+            if not reid_idx.any():
+                continue
+            key = self._long_key(origs[win_st : frame_id + 1], keeps)
+            asso = self._long_cache.get(key)
+            if asso is not None:
+                # replay the REAL outcome (revivals included) from the cache
+                sub = [
+                    FrameDetections(
+                        boxes=f.boxes[kp], scores=None, ctrl_points=None,
+                        recs=None, bd=None, reid=None,
+                        track_ids=None if f.track_ids is None else f.track_ids[kp],
+                        image_hw=f.image_hw,
+                    )
+                    for f, kp in zip(window, keeps)
+                ]
+                n_t = [len(f.boxes) for f in sub]
+                k_start = sum(n_t[:-1])
+                ids = (
+                    np.concatenate([f.track_ids for f in sub[:-1]])
+                    if len(sub) > 1
+                    else np.zeros(0, np.int64)
+                )
+                nonk_boxes = (
+                    np.concatenate([f.boxes for f in sub[:-1]])
+                    if len(sub) > 1
+                    else np.zeros((0, 4), np.float32)
+                )
+                decay = None
+                if self.decay_time > 0 and k_start > 0:
+                    dts = np.concatenate(
+                        [np.full((len(f.boxes),), len(sub) - t - 2, np.float32)
+                         for t, f in enumerate(sub[:-1])]
+                    )
+                    decay = self.decay_time**dts
+                new_ids = self._assign(
+                    asso[:, :k_start], ids, sub[-1].boxes, nonk_boxes,
+                    sdet.image_hw, decay=decay, center_gate=True,
+                )
+                for i in range(len(new_ids)):
+                    if new_ids[i] < 0:
+                        sim_id_count += 1
+                        new_ids[i] = sim_id_count
+                sdet.track_ids = sdet.track_ids.copy()
+                sdet.track_ids[reid_idx] = new_ids
+                continue
+            if key not in seen:
+                seen.add(key)
                 n_t = [int(k.sum()) for k in keeps]
                 feats = np.concatenate(
                     [f.reid[kp] for f, kp in zip(window, keeps)], axis=0
@@ -320,16 +383,15 @@ class Tracker:
                         for f, kp in zip(window, keeps)
                     ]
                 requests.append((key, n_t, feats, pos_frames))
-            # speculation: no revival — every unmatched det gets a fresh id
-            # (traj_score <= overlap_thresh for all pairs)
+            # speculation for THIS round: no revival — fresh ids
             n_new = int(reid_idx.sum())
             new_ids = np.arange(sim_id_count + 1, sim_id_count + 1 + n_new, dtype=np.int64)
             sim_id_count += n_new
             sdet.track_ids = sdet.track_ids.copy()
             sdet.track_ids[reid_idx] = new_ids
+        return requests
 
-        if not requests:
-            return
+    def _batch_long_requests(self, requests):
         npad = _bucket(max(sum(n_t) for _, n_t, _, _ in requests))
         F = requests[0][2].shape[1]
         # chunk the batch to bound memory and pad the chunk size to a bucket to
