@@ -377,8 +377,9 @@ class Tracker:
                 if self.use_pos_emb:
                     pos_frames = [
                         FrameDetections(
-                            boxes=f.boxes[kp], scores=None, ctrl_points=None,
-                            recs=None, bd=None, reid=None, image_hw=f.image_hw,
+                            boxes=f.boxes[kp], scores=f.scores[kp],
+                            ctrl_points=None, recs=None, bd=None, reid=None,
+                            image_hw=f.image_hw,
                         )
                         for f, kp in zip(window, keeps)
                     ]
