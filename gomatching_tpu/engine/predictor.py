@@ -246,17 +246,19 @@ class VideoPredictor:
         t0 = time.time()
         n = len(batch)
         bs = self.spot_batch
-        # dispatch every batch before fetching anything: JAX dispatch is async, so
-        # host<->device transfers of batch k overlap the spotter compute of batch
-        # k+1 (significant when the TPU is reached through a tunnel)
+        # issue EVERY host->device frame transfer first (async), then dispatch
+        # every compute batch before fetching anything: at ~30-40 MB/s through
+        # the tunnel the raw uint8 uploads rival the spot compute itself, so
+        # they must pipeline ahead of it rather than interleave with dispatch
         th = jnp.float32(self.score_thresh)
-        pending = []
+        chunks = []
         for s in range(0, n, bs):
             chunk = batch[s : s + bs]
             pad = bs - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
-            pending.append((spot(self.params, jnp.asarray(chunk), th), bs - pad))
+            chunks.append((jax.device_put(chunk), bs - pad))
+        pending = [(spot(self.params, dev, th), keep) for dev, keep in chunks]
         outs = [
             {k: np.asarray(v)[:keep] for k, v in out.items()} for out, keep in pending
         ]
@@ -300,13 +302,14 @@ class VideoPredictor:
         n = len(batch)
         bs = self.spot_batch
         th = jnp.float32(self.score_thresh)
-        pending = []
+        chunks = []
         for s in range(0, n, bs):
             chunk = batch[s : s + bs]
             pad = bs - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
-            pending.append((spot(self.params, jnp.asarray(chunk), th), bs - pad))
+            chunks.append((jax.device_put(chunk), bs - pad))
+        pending = [(spot(self.params, dev, th), keep) for dev, keep in chunks]
         tc["detector"] = tc.get("detector", 0) + time.time() - t0
 
         for out_dev, keep in pending:

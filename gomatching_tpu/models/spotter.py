@@ -20,7 +20,7 @@ MODEL.TRANSFORMER.DROPOUT = 0.0 and the spotter is frozen in GoMatching.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -62,6 +62,27 @@ def _offset_grid_init(n_heads: int, n_levels: int, n_points: int):
     return init
 
 
+class TransposedDense(nn.Module):
+    """Dense emitting features-major output: (B, C, S) -> (B, F, S).
+
+    Same parameter tree as ``nn.Dense`` (kernel (C, F), bias (F,)), applied as
+    an einsum contraction so the output is born with the token axis minor —
+    the layout the fused encoder sampler consumes (no per-layer element-
+    strided transpose)."""
+
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, xT):
+        k = self.param("kernel", self.kernel_init, (xT.shape[1], self.features))
+        b = self.param("bias", self.bias_init, (self.features,))
+        return jnp.einsum("bcs,cf->bfs", xT, k.astype(xT.dtype)) + b.astype(
+            xT.dtype
+        )[None, :, None]
+
+
 class MSDeformAttn(nn.Module):
     """Deformable attention layer: offset/weight projections around the core op.
 
@@ -97,6 +118,69 @@ class MSDeformAttn(nn.Module):
             value = jnp.where(token_valid[..., None], value, 0.0)
         value = value.reshape(B, -1, M, D)
 
+        if (
+            self.sampling_impl == "vmem"
+            and is_encoder_self_attn
+            and token_valid is None
+        ):
+            # Encoder fast path: sampling geometry is BORN in the fused
+            # kernel's layout. The offsets/attention projections run as
+            # (C, S)-contraction matmuls on a tile-major permuted token axis
+            # (one row gather + one 2D transpose), replacing the
+            # element-strided tile/transpose prep that cost ~10 ms/layer
+            # (docs/PERF_NOTES.md round 3). Same parameters, same math:
+            # reference points are the grid centers the caller passes when
+            # inputs are un-padded (valid_ratios == 1).
+            assert Lq == value.shape[1]
+            from ..ops.deform_attn_vmem import (
+                ms_deform_attn_encoder_vmem_tm,
+                tile_major_perm,
+            )
+
+            perm, _ = tile_major_perm(spatial_shapes)
+            S_tm = perm.shape[0]
+            qp = jnp.take(query, jnp.asarray(perm), axis=1)  # (B, S_tm, C)
+            qT = jnp.swapaxes(qp, 1, 2)  # (B, C, S_tm)
+            offT = TransposedDense(
+                M * L * P * 2,
+                kernel_init=nn.initializers.zeros,
+                bias_init=_offset_grid_init(M, L, P),
+                name="sampling_offsets",
+            )(qT)
+            attnT = TransposedDense(
+                M * L * P,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="attention_weights",
+            )(qT)
+            attnT = jax.nn.softmax(
+                attnT.reshape(B, M, L * P, S_tm), axis=2
+            ).reshape(B, M, L, P, S_tm)
+            # tile-major grid-center reference points (constant)
+            refs = []
+            for h, w in spatial_shapes:
+                gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+                refs.append(
+                    np.stack([(gx.ravel() + 0.5) / w, (gy.ravel() + 0.5) / h], -1)
+                )
+            ref_tm = np.concatenate(refs, 0)[perm].T  # (2, S_tm)
+            wh_v = jnp.asarray(
+                [[w, h] for h, w in spatial_shapes], jnp.float32
+            ).reshape(1, 1, L, 1, 2, 1)
+            locT = (
+                jnp.asarray(ref_tm).reshape(1, 1, 1, 1, 2, S_tm)
+                + offT.reshape(B, M, L, P, 2, S_tm) / wh_v
+            )
+            dd = jax.config.jax_default_device
+            on_tpu = (
+                dd.platform if dd is not None else jax.default_backend()
+            ) == "tpu"
+            out = ms_deform_attn_encoder_vmem_tm(
+                value, spatial_shapes, locT, attnT, halo=self.tiled_halo,
+                interpret=not on_tpu,
+            )
+            return nn.Dense(C, name="output_proj")(out)
+
         offsets = nn.Dense(
             M * L * P * 2,
             kernel_init=nn.initializers.zeros,
@@ -126,26 +210,6 @@ class MSDeformAttn(nn.Module):
 
             out = ms_deform_attn_pallas(value, spatial_shapes, loc, attn)
         elif (
-            self.sampling_impl == "vmem"
-            and is_encoder_self_attn
-            and token_valid is None
-        ):
-            # fused VMEM outer-product kernel (ops/deform_attn_vmem.py): same
-            # exactness contract as 'tiled' (resolved within the halo) with G
-            # built on-chip; interpret mode keeps CPU tests running
-            assert Lq == value.shape[1]
-            from ..ops.deform_attn_vmem import ms_deform_attn_encoder_vmem
-
-            # interpret off the TPU — incl. init traces pinned to the host CPU
-            # via jax.default_device (init_params), where default_backend()
-            # still reports the accelerator
-            dd = jax.config.jax_default_device
-            on_tpu = (dd.platform if dd is not None else jax.default_backend()) == "tpu"
-            out = ms_deform_attn_encoder_vmem(
-                value, spatial_shapes, loc, attn, halo=self.tiled_halo,
-                interpret=not on_tpu,
-            )
-        elif (
             self.sampling_impl == "tiled"
             and is_encoder_self_attn
             and token_valid is None
@@ -161,6 +225,18 @@ class MSDeformAttn(nn.Module):
 
             out = ms_deform_attn_encoder_tiled(
                 value, spatial_shapes, loc, attn, halo=self.tiled_halo
+            )
+        elif self.sampling_impl == "vmem":
+            # decoder cross-attention (arbitrary refined-point queries): the
+            # full-level one-hot VMEM kernel is exact — padded tokens are
+            # already zeroed in `value`, reproducing the mask semantics of the
+            # gather core (ops/deform_attn_dec_vmem.py)
+            from ..ops.deform_attn_dec_vmem import ms_deform_attn_queries_vmem
+
+            dd = jax.config.jax_default_device
+            on_tpu = (dd.platform if dd is not None else jax.default_backend()) == "tpu"
+            out = ms_deform_attn_queries_vmem(
+                value, spatial_shapes, loc, attn, interpret=not on_tpu
             )
         else:
             out = ms_deform_attn_core(value, spatial_shapes, loc, attn, query_chunk=query_chunk)

@@ -68,6 +68,41 @@ from .deform_attn_tiled import (
 )
 
 
+def tile_major_perm(
+    spatial_shapes: Sequence[Tuple[int, int]],
+    tile_sizes: Optional[Sequence[int]] = None,
+):
+    """Token permutation putting each query tile's tokens contiguous.
+
+    Returns (perm (S_tm,) int32 with 0-filler on edge-tile padding slots,
+    level_info list of (start_tm, T, Q, ty, tx, nty, ntx)). Applying ``perm``
+    to the token axis turns the costly element-strided tile/transpose prep
+    into a row gather + matrix transpose (docs/PERF_NOTES.md round 3).
+    """
+    L = len(spatial_shapes)
+    tiles = list(tile_sizes) if tile_sizes is not None else list(_DEFAULT_TILES[:L])
+    while len(tiles) < L:
+        tiles.append(max(2, tiles[-1] // 2))
+    starts, _ = _level_starts(spatial_shapes)
+    perm_parts = []
+    level_info = []
+    pos = 0
+    for l, (H1, W1) in enumerate(spatial_shapes):
+        t = tiles[l]
+        ty, tx = min(t, H1), min(t, W1)
+        nty, ntx = -(-H1 // ty), -(-W1 // tx)
+        idx = np.zeros((nty * ty, ntx * tx), np.int64)
+        iy, ix = np.mgrid[0 : nty * ty, 0 : ntx * tx]
+        valid = (iy < H1) & (ix < W1)
+        idx[valid] = starts[l] + (iy * W1 + ix)[valid]
+        idx[~valid] = starts[l]  # filler: any in-range row; outputs are dropped
+        tiled = idx.reshape(nty, ty, ntx, tx).transpose(0, 2, 1, 3).reshape(-1)
+        perm_parts.append(tiled)
+        level_info.append((pos, nty * ntx, ty * tx, ty, tx, nty, ntx))
+        pos += tiled.size
+    return np.concatenate(perm_parts).astype(np.int32), level_info
+
+
 def _kernel(org_ref, x_ref, y_ref, a_ref, *refs, geom, Mb, P, Q, D, out_dtype):
     """One (tile, batch) step: for each head, build G per target level in a
     VMEM scratch via the outer-product one-hot form and contract on the MXU.
@@ -190,84 +225,168 @@ def ms_deform_attn_encoder_vmem(
         y_arr = xy[..., 1, :]
         a_arr = jnp.transpose(attn_t, (0, 1, 4, 3, 5, 2)).astype(jnp.float32)
 
-        # scalar-prefetched origin table consumed by the fp index maps
-        org = jnp.asarray(np.stack([oy_np, ox_np], axis=0).reshape(2 * L, T))
+        out = _level_pallas(
+            grids, geom, oy_np, ox_np, x_arr, y_arr, a_arr,
+            T=T, Q=Q, B=B, M=M, D=D, L=L, P=P, Mb=Mb, Mg=Mg,
+            block=block, out_dtype=out_dtype, interpret=interpret,
+        )
+        out = jnp.moveaxis(out, 2, 3)  # (T, B, Q, M, D)
+        out_l = _untile_queries(out, nty, ntx, H1, W1, ty, tx)
+        out_levels.append(out_l.reshape(B, H1 * W1, M * D).astype(out_dtype))
 
-        if Mg > 1:
-            pgrid = (T, B, Mg)
+    return jnp.concatenate(out_levels, axis=1)
 
-            def fp_spec(l2, Fh, Fw):  # noqa: F811
-                def idx(t_, b_, m_, org_ref):
-                    return (
-                        b_,
-                        m_ * Mb,
-                        pl.multiple_of(org_ref[l2, t_], block),
-                        pl.multiple_of(org_ref[L + l2, t_], block),
-                        0,
-                    )
 
-                return pl.BlockSpec(
-                    (pl.Element(1), pl.Element(Mb), pl.Element(Fh),
-                     pl.Element(Fw), pl.Element(D)),
-                    idx,
+def _level_pallas(grids, geom, oy_np, ox_np, x_arr, y_arr, a_arr, *, T, Q, B, M,
+                  D, L, P, Mb, Mg, block, out_dtype, interpret):
+    """Shared per-source-level pallas invocation: x/y/a (T, B, L, M|Mb-grouped,
+    P, Q) local coords/attention -> (T, B, M, Q, D)."""
+    # scalar-prefetched origin table consumed by the fp index maps
+    org = jnp.asarray(np.stack([oy_np, ox_np], axis=0).reshape(2 * L, T))
+
+    if Mg > 1:
+        pgrid = (T, B, Mg)
+
+        def fp_spec(l2, Fh, Fw):
+            def idx(t_, b_, m_, org_ref):
+                return (
+                    b_,
+                    m_ * Mb,
+                    pl.multiple_of(org_ref[l2, t_], block),
+                    pl.multiple_of(org_ref[L + l2, t_], block),
+                    0,
                 )
 
-            qspec = pl.BlockSpec(
-                (None, None, L, Mb, P, Q),
-                lambda t_, b_, m_, org_ref: (t_, b_, 0, m_, 0, 0),
+            return pl.BlockSpec(
+                (pl.Element(1), pl.Element(Mb), pl.Element(Fh),
+                 pl.Element(Fw), pl.Element(D)),
+                idx,
             )
-            out_spec = pl.BlockSpec(
-                (None, None, Mb, Q, D),
-                lambda t_, b_, m_, org_ref: (t_, b_, m_, 0, 0),
-            )
-        else:
-            pgrid = (T, B)
 
-            def fp_spec(l2, Fh, Fw):  # noqa: F811
-                def idx(t_, b_, org_ref):
-                    return (
-                        b_,
-                        0,
-                        pl.multiple_of(org_ref[l2, t_], block),
-                        pl.multiple_of(org_ref[L + l2, t_], block),
-                        0,
-                    )
+        qspec = pl.BlockSpec(
+            (None, None, L, Mb, P, Q),
+            lambda t_, b_, m_, org_ref: (t_, b_, 0, m_, 0, 0),
+        )
+        out_spec = pl.BlockSpec(
+            (None, None, Mb, Q, D),
+            lambda t_, b_, m_, org_ref: (t_, b_, m_, 0, 0),
+        )
+    else:
+        pgrid = (T, B)
 
-                return pl.BlockSpec(
-                    (pl.Element(1), pl.Element(M), pl.Element(Fh),
-                     pl.Element(Fw), pl.Element(D)),
-                    idx,
+        def fp_spec(l2, Fh, Fw):  # noqa: F811
+            def idx(t_, b_, org_ref):
+                return (
+                    b_,
+                    0,
+                    pl.multiple_of(org_ref[l2, t_], block),
+                    pl.multiple_of(org_ref[L + l2, t_], block),
+                    0,
                 )
 
-            qspec = pl.BlockSpec(
-                (None, None, L, M, P, Q),
-                lambda t_, b_, org_ref: (t_, b_, 0, 0, 0, 0),
-            )
-            out_spec = pl.BlockSpec(
-                (None, None, M, Q, D), lambda t_, b_, org_ref: (t_, b_, 0, 0, 0)
+            return pl.BlockSpec(
+                (pl.Element(1), pl.Element(M), pl.Element(Fh),
+                 pl.Element(Fw), pl.Element(D)),
+                idx,
             )
 
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=pgrid,
-            in_specs=[qspec, qspec, qspec]
-            + [fp_spec(l2, fh, fw) for l2, (fh, fw) in enumerate(geom)],
-            out_specs=out_spec,
-            scratch_shapes=[pltpu.VMEM((fh, fw, Q), jnp.float32) for fh, fw in geom],
+        qspec = pl.BlockSpec(
+            (None, None, L, M, P, Q),
+            lambda t_, b_, org_ref: (t_, b_, 0, 0, 0, 0),
         )
-        kern = functools.partial(
-            _kernel, geom=geom, Mb=Mb, P=P, Q=Q, D=D, out_dtype=out_dtype
+        out_spec = pl.BlockSpec(
+            (None, None, M, Q, D), lambda t_, b_, org_ref: (t_, b_, 0, 0, 0)
         )
-        out = pl.pallas_call(
-            kern,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((T, B, M, Q, D), out_dtype),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
-            ),
-            interpret=interpret,
-        )(org, x_arr, y_arr, a_arr, *[g.astype(out_dtype) for g in grids])
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=pgrid,
+        in_specs=[qspec, qspec, qspec]
+        + [fp_spec(l2, fh, fw) for l2, (fh, fw) in enumerate(geom)],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((fh, fw, Q), jnp.float32) for fh, fw in geom],
+    )
+    kern = functools.partial(
+        _kernel, geom=geom, Mb=Mb, P=P, Q=Q, D=D, out_dtype=out_dtype
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, B, M, Q, D), out_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(org, x_arr, y_arr, a_arr, *[g.astype(out_dtype) for g in grids])
+
+
+def ms_deform_attn_encoder_vmem_tm(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    locT: jnp.ndarray,
+    attnT: jnp.ndarray,
+    halo: int = 8,
+    block: int = 8,
+    tile_sizes: Optional[Sequence[int]] = None,
+    heads_per_step: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tile-major variant: sampling geometry arrives pre-transposed.
+
+    ``locT`` (B, M, L, P, 2, S_tm) normalized sampling locations and ``attnT``
+    (B, M, L, P, S_tm) on the tile-major token axis of ``tile_major_perm`` —
+    the layout the transposed offsets/attention matmuls emit directly
+    (models/spotter.py), so the wrapper's only data movement is a per-level
+    chunked transpose with the whole Q tile contiguous. Returns (B, S, M*D)
+    in NATURAL token order.
+    """
+    B, S, M, D = value.shape
+    _, _, L, P, _, S_tm = locT.shape
+    out_dtype = value.dtype
+    tiles = list(tile_sizes) if tile_sizes is not None else list(_DEFAULT_TILES[:L])
+    while len(tiles) < L:
+        tiles.append(max(2, tiles[-1] // 2))
+    Mb = M if heads_per_step in (0, M) else heads_per_step
+    assert M % Mb == 0
+    Mg = M // Mb
+
+    grids = _pad_level_grids(value, spatial_shapes, block)
+    _, level_info = tile_major_perm(spatial_shapes, tiles)
+    assert level_info[-1][0] + level_info[-1][1] * level_info[-1][2] == S_tm
+
+    out_levels: List[jnp.ndarray] = []
+    for l, (H1, W1) in enumerate(spatial_shapes):
+        s_tm, T, Q, ty, tx, nty, ntx = level_info[l]
+        geom: List[Tuple[int, int]] = []
+        oy_np = np.zeros((L, T), np.int32)
+        ox_np = np.zeros((L, T), np.int32)
+        for l2, (H2, W2) in enumerate(spatial_shapes):
+            Hp2, Wp2 = grids[l2].shape[2], grids[l2].shape[3]
+            oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, block)
+            oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)
+            geom.append((Fh, Fw))
+            oy_np[l2] = np.repeat(np.asarray(oys, np.int32), ntx)
+            ox_np[l2] = np.tile(np.asarray(oxs, np.int32), nty)
+
+        seg = locT[..., s_tm : s_tm + T * Q].reshape(B, M, L, P, 2, T, Q)
+        seg = jnp.transpose(seg, (5, 0, 2, 1, 3, 4, 6)).astype(jnp.float32)
+        # (T, B, L, M, P, 2, Q) — Q contiguous, chunked move
+        wh = np.asarray([[w2, h2] for h2, w2 in spatial_shapes], np.float32)
+        scale = jnp.asarray(wh).reshape(1, 1, L, 1, 1, 2, 1)
+        origin = jnp.stack(
+            [jnp.asarray(ox_np, jnp.float32), jnp.asarray(oy_np, jnp.float32)],
+            axis=-1,
+        )
+        origin = jnp.transpose(origin, (1, 0, 2)).reshape(T, 1, L, 1, 1, 2, 1)
+        xy = seg * scale - 0.5 - origin
+        x_arr = xy[..., 0, :]
+        y_arr = xy[..., 1, :]
+        aseg = attnT[..., s_tm : s_tm + T * Q].reshape(B, M, L, P, T, Q)
+        a_arr = jnp.transpose(aseg, (4, 0, 2, 1, 3, 5)).astype(jnp.float32)
+
+        out = _level_pallas(
+            grids, geom, oy_np, ox_np, x_arr, y_arr, a_arr,
+            T=T, Q=Q, B=B, M=M, D=D, L=L, P=P, Mb=Mb, Mg=Mg,
+            block=block, out_dtype=out_dtype, interpret=interpret,
+        )
         out = jnp.moveaxis(out, 2, 3)  # (T, B, Q, M, D)
         out_l = _untile_queries(out, nty, ntx, H1, W1, ty, tx)
         out_levels.append(out_l.reshape(B, H1 * W1, M * D).astype(out_dtype))

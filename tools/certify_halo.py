@@ -58,7 +58,11 @@ def main():
     from gomatching_tpu.models.gomatching import GoMatchingModel
     from gomatching_tpu.ops.deform_attn_tiled import deform_attn_dropped_mass
 
-    cfg = setup_eval_cfg(args.config_file, list(args.opts))
+    # the exact gather path goes through the generic sampling computation,
+    # which sows the calibration intermediates (the vmem fast path bypasses it)
+    cfg = setup_eval_cfg(
+        args.config_file, ["TPU.SAMPLING_IMPL", "xla"] + list(args.opts)
+    )
     predictor = VideoPredictor(cfg)
 
     if args.image:
