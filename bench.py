@@ -75,8 +75,8 @@ def main():
     )
     spot = predictor._raw_spot_fn(tuple(orig_hw), target_hw)
     raw = np.stack(frames[:spot_batch])
-    out = spot(predictor.params, jnp.asarray(raw), jnp.float32(predictor.score_thresh))
-    scores = np.asarray(out["scores"])
+    flat = spot(predictor.params, jnp.asarray(raw), jnp.float32(predictor.score_thresh))
+    scores = predictor.unpack_spot(np.asarray(flat))["scores"]
     compile_s = time.time() - t0
     predictor.score_thresh = float(np.quantile(scores, 1.0 - 20.0 / scores.shape[1]))
 

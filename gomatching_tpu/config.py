@@ -389,12 +389,15 @@ def get_cfg() -> CfgNode:
     r.MAX_GT = 60  # static per-image GT capacity for pretraining targets
     r.PAD_TO = 32  # frame padding multiple for static feature shapes
     # deformable-attention sampling implementation: 'vmem' (fused VMEM
-    # outer-product Pallas kernel for the encoder, exact within TILED_HALO
-    # target cells of the query - see ops/deform_attn_vmem.py), 'tiled'
-    # (XLA one-hot MXU encoder path, same exactness contract,
-    # ops/deform_attn_tiled.py), 'xla' (gather-based, exact, works
-    # everywhere), or 'pallas' (VMEM-gather kernel; ops/deform_attn_pallas.py)
-    r.SAMPLING_IMPL = "tiled"
+    # outer-product Pallas kernels — encoder tiled-footprint + decoder
+    # full-level one-hot, exact within TILED_HALO for the encoder and exact
+    # everywhere else; the production inference default, see
+    # ops/deform_attn_vmem.py + ops/deform_attn_dec_vmem.py), 'tiled' (XLA
+    # one-hot MXU encoder path, same exactness contract, differentiable —
+    # training paths force this, ops/deform_attn_tiled.py), 'xla'
+    # (gather-based, exact, works everywhere), or 'pallas' (VMEM-gather
+    # kernel; ops/deform_attn_pallas.py)
+    r.SAMPLING_IMPL = "vmem"
     # max |sampling offset| (target-level cells) resolved exactly by the tiled
     # path; size it with ops.deform_attn_tiled.deform_attn_dropped_mass.
     # 7 is the block-rounding sweet spot: footprints round to the same extents

@@ -43,12 +43,12 @@ def main():
         th = jnp.float32(0.4)
         t0 = time.time()
         out = spot(pred.params, raw, th)
-        _ = np.asarray(out["scores"])
+        _ = np.asarray(out)
         print(f"{impl}: compile+first {time.time() - t0:.1f}s")
         for trial in range(2):
             t0 = time.time()
             outs = [spot(pred.params, raw, th) for _ in range(iters)]
-            _ = np.asarray(outs[-1]["scores"][..., :1])
+            _ = np.asarray(outs[-1][..., :1])
             dt = (time.time() - t0) / iters
             print(f"{impl}: {dt * 1e3:8.1f} ms/step ({dt * 1e3 / batch:.1f} ms/frame)")
 

@@ -118,6 +118,14 @@ def pretrain_main(args):
 
     cfg = setup_train_cfg(args.config_file, args.opts)
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    if cfg.TPU.SAMPLING_IMPL in ("vmem", "pallas"):
+        # pretraining differentiates THROUGH the spotter; the fused Pallas
+        # samplers are inference kernels (no VJP). 'tiled' is pure XLA with
+        # the same exactness contract and differentiates fine.
+        cfg.defrost()
+        cfg.TPU.SAMPLING_IMPL = "tiled"
+        cfg.freeze()
+        print("# pretraining overrides TPU.SAMPLING_IMPL -> 'tiled' (differentiable)")
     if cfg.MODEL.META_ARCHITECTURE == "TransformerPureVideoDetector":
         return pretrain_video_main(args, cfg)
     t = cfg.MODEL.TRANSFORMER
