@@ -123,34 +123,51 @@ class SpotterPretrainer:
             and cfg.MODEL.SWIN.DROP_PATH_RATE > 0.0
         )
         self.state = PretrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        # two-phase on accelerators: the Hungarian LSAP runs on the host
+        # BETWEEN two jits (cost forward -> solve -> loss+grad with fixed
+        # matches) instead of as an in-graph pure_callback — the tunneled
+        # axon TPU client supports no host callbacks, and a mid-graph
+        # host sync is a pipeline bubble on any accelerator
+        self.two_phase = jax.default_backend() != "cpu"
         self._step_fn = jax.jit(self._update)
+        self._costs_fn = jax.jit(self._costs)
 
     # ------------------------------------------------------------------
-    def _loss(self, params, images, image_hw, targets, rng=None):
+    def _forward(self, params, images, image_hw, rng):
         # drop-path (Swin) needs a 'dropout' rng and train=True; other backbones
         # have no train-time stochasticity so the deterministic path is identical
         if rng is not None:
-            out = self.model.apply(
+            return self.model.apply(
                 params, images, image_hw, True, rngs={"dropout": rng}
             )
-        else:
-            out = self.model.apply(params, images, image_hw)
+        return self.model.apply(params, images, image_hw)
+
+    def _loss(self, params, images, image_hw, targets, rng=None, matches=None):
+        out = self._forward(params, images, image_hw, rng)
         # under GSPMD the batch arrays are globally sharded, so this sum already
         # spans all data shards — the explicit all_reduce of the reference
         # (losses.py:260-262) falls out of the programming model
         num_inst = jnp.sum(targets["valid"]).astype(jnp.float32)
-        losses = self.criterion(out, targets, num_inst=jnp.maximum(num_inst, 1.0))
+        losses = self.criterion(
+            out, targets, num_inst=jnp.maximum(num_inst, 1.0), matches=matches
+        )
         total = sum(jax.tree.leaves(losses))
         return total, losses
 
-    def _update(self, state: PretrainState, images, image_hw, targets):
-        rng = (
+    def _rng(self, state):
+        return (
             jax.random.fold_in(jax.random.PRNGKey(23), state.step)
             if self.use_drop_path
             else None
         )
+
+    def _costs(self, state: PretrainState, images, image_hw, targets):
+        out = self._forward(state.params, images, image_hw, self._rng(state))
+        return self.criterion.costs(out, targets)
+
+    def _update(self, state: PretrainState, images, image_hw, targets, matches=None):
         (total, losses), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            state.params, images, image_hw, targets, rng
+            state.params, images, image_hw, targets, self._rng(state), matches
         )
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -160,7 +177,18 @@ class SpotterPretrainer:
     def step(self, images: np.ndarray, targets: Dict, image_hw=None) -> Dict[str, float]:
         """One full-model training step; targets are the padded arrays described
         in ``SpotterCriterion.__call__``."""
+        images = jnp.asarray(images)
+        targets = jax.tree.map(jnp.asarray, targets)
+        matches = None
+        if self.two_phase:
+            from .spotter_losses import _solve_padded
+
+            costs = self._costs_fn(self.state, images, image_hw, targets)
+            matches = {
+                k: jnp.asarray(_solve_padded(np.asarray(c), np.asarray(nv)))
+                for k, (c, nv) in costs.items()
+            }
         self.state, losses = self._step_fn(
-            self.state, jnp.asarray(images), image_hw, jax.tree.map(jnp.asarray, targets)
+            self.state, images, image_hw, targets, matches
         )
         return {k: float(v) for k, v in losses.items()}

@@ -129,7 +129,7 @@ def ctc_cost_matrix(
 # ---------------------------------------------------------------------------
 # matchers
 # ---------------------------------------------------------------------------
-def match_ctrl_points(
+def match_ctrl_points_cost(
     outputs: Dict[str, jnp.ndarray],
     targets: Dict[str, jnp.ndarray],
     voc_size: int,
@@ -141,7 +141,8 @@ def match_ctrl_points(
 ) -> jnp.ndarray:
     """Decoder Hungarian match (CtrlPointHungarianMatcher, matcher.py:11-97).
 
-    Returns gt_of_query (B, nq) int32, -1 = unmatched/pad.
+    Returns the padded (B, nq, G) cost matrix + (B,) valid-gt counts; feed
+    to ``assign`` (in-graph callback) or solve on the host (two-phase step).
     """
     logits = outputs["pred_logits"].astype(jnp.float32)  # (B, nq, npts, 1)
     prob = jax.nn.sigmoid(logits)
@@ -165,10 +166,10 @@ def match_ctrl_points(
 
     C = class_weight * cost_class[..., None] + coord_weight * cost_kpts + text_weight * cost_text
     C = jnp.where(targets["valid"][:, None, :], C, 1e9)
-    return assign(C, jnp.sum(targets["valid"], axis=1))
+    return C, jnp.sum(targets["valid"], axis=1)
 
 
-def match_beziers(
+def match_beziers_cost(
     outputs: Dict[str, jnp.ndarray],
     targets: Dict[str, jnp.ndarray],
     num_sample_points: int,
@@ -180,7 +181,7 @@ def match_beziers(
     """Encoder-proposal Hungarian match (BezierHungarianMatcher, matcher.py:100-156).
 
     outputs: enc_logits (B, S, 1), enc_beziers (B, S, 8) (sigmoided).
-    Returns gt_of_token (B, S) int32.
+    Returns the padded (B, S, G) cost matrix + (B,) valid-gt counts.
     """
     prob = jax.nn.sigmoid(outputs["enc_logits"].astype(jnp.float32))[..., 0]  # (B, S)
     cost_class = focal_class_cost(prob, alpha, gamma)  # labels are all class 0
@@ -197,7 +198,7 @@ def match_beziers(
 
     C = class_weight * cost_class[..., None] + coord_weight * cost_coord
     C = jnp.where(targets["valid"][:, None, :], C, 1e9)
-    return assign(C, jnp.sum(targets["valid"], axis=1))
+    return C, jnp.sum(targets["valid"], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -307,12 +308,33 @@ class SpotterCriterion:
         self.enc_class_w = lw.BEZIER_CLASS_WEIGHT
         self.enc_coord_w = lw.BEZIER_COORD_WEIGHT
 
-    def _dec_losses(self, out, targets, num_inst, suffix=""):
-        gt_of_q = match_ctrl_points(
+    def _dec_cost(self, out, targets):
+        return match_ctrl_points_cost(
             out, targets, self.voc_size,
             self.match_class_w, self.match_coord_w, self.match_text_w,
             self.alpha, self.gamma,
         )
+
+    def costs(self, outputs: Dict, targets: Dict) -> Dict[str, tuple]:
+        """All Hungarian cost matrices of one step, keyed like the matches
+        dict ``__call__`` accepts: 'dec', 'aux_<i>', 'enc'. Lets a host-side
+        driver solve the LSAPs outside the jit (two-phase step — the axon
+        TPU client supports no in-graph host callbacks)."""
+        cs = {"dec": self._dec_cost(outputs, targets)}
+        if self.aux:
+            for i, aux in enumerate(outputs.get("aux_outputs", ())):
+                cs[f"aux_{i}"] = self._dec_cost(aux, targets)
+        if "enc_logits" in outputs:
+            enc = {"enc_logits": outputs["enc_logits"], "enc_beziers": outputs["enc_beziers"]}
+            cs["enc"] = match_beziers_cost(
+                enc, targets, self.num_sample_points,
+                self.enc_class_w, self.enc_coord_w, self.alpha, self.gamma,
+            )
+        return cs
+
+    def _dec_losses(self, out, targets, num_inst, suffix="", gt_of_q=None):
+        if gt_of_q is None:
+            gt_of_q = assign(*self._dec_cost(out, targets))
         gt_of_q = jax.lax.stop_gradient(gt_of_q)
         d = {
             f"loss_ce{suffix}": self.weights["loss_ce"]
@@ -329,30 +351,41 @@ class SpotterCriterion:
         return d
 
     def __call__(
-        self, outputs: Dict, targets: Dict, num_inst: Optional[jnp.ndarray] = None
+        self, outputs: Dict, targets: Dict, num_inst: Optional[jnp.ndarray] = None,
+        matches: Optional[Dict] = None,
     ) -> Dict[str, jnp.ndarray]:
         """targets: labels/valid (B, G), ctrl_points (B, G, npts, 2),
         texts (B, G, T), beziers (B, G, 4, 2), bd_points (B, G, npts, 4).
 
         num_inst: pre-reduced instance count (pass psum(valid)/world over the data
         mesh for the distributed normalization, losses.py:258-262); defaults to
-        the local count."""
+        the local count.
+
+        matches: optional pre-solved assignments keyed like ``costs`` — the
+        two-phase step supplies them; None = in-graph host callback."""
         if num_inst is None:
             num_inst = jnp.sum(targets["valid"]).astype(jnp.float32)
         num_inst = jnp.maximum(num_inst, 1.0)
+        m = matches or {}
 
-        losses = self._dec_losses(outputs, targets, num_inst)
+        losses = self._dec_losses(outputs, targets, num_inst, gt_of_q=m.get("dec"))
         if self.aux:
             for i, aux in enumerate(outputs.get("aux_outputs", ())):
-                losses.update(self._dec_losses(aux, targets, num_inst, suffix=f"_{i}"))
+                losses.update(
+                    self._dec_losses(aux, targets, num_inst, suffix=f"_{i}",
+                                     gt_of_q=m.get(f"aux_{i}"))
+                )
         if "enc_logits" in outputs:
             enc = {"enc_logits": outputs["enc_logits"], "enc_beziers": outputs["enc_beziers"]}
-            gt_of_tok = jax.lax.stop_gradient(
-                match_beziers(
-                    enc, targets, self.num_sample_points,
-                    self.enc_class_w, self.enc_coord_w, self.alpha, self.gamma,
+            gt_of_tok = m.get("enc")
+            if gt_of_tok is None:
+                gt_of_tok = assign(
+                    *match_beziers_cost(
+                        enc, targets, self.num_sample_points,
+                        self.enc_class_w, self.enc_coord_w, self.alpha, self.gamma,
+                    )
                 )
-            )
+            gt_of_tok = jax.lax.stop_gradient(gt_of_tok)
             losses["loss_ce_enc"] = self.weights["loss_ce_enc"] * loss_labels(
                 outputs["enc_logits"], gt_of_tok, num_inst, self.alpha, self.gamma
             )

@@ -354,6 +354,12 @@ class SpotterPretrainModel(nn.Module):
 
 def build_pretrain_model(cfg) -> SpotterPretrainModel:
     t = cfg.MODEL.TRANSFORMER
+    # pretraining differentiates THROUGH the spotter; the fused Pallas
+    # samplers ('vmem'/'pallas') define no VJP — 'tiled' is the pure-XLA
+    # sampler with the same exactness contract
+    impl = cfg.TPU.SAMPLING_IMPL
+    if impl in ("vmem", "pallas"):
+        impl = "tiled"
     return SpotterPretrainModel(
         backbone_name=cfg.MODEL.BACKBONE.NAME,
         resnet_depth=cfg.MODEL.RESNETS.DEPTH,
@@ -370,7 +376,7 @@ def build_pretrain_model(cfg) -> SpotterPretrainModel:
         voc_size=t.VOC_SIZE,
         temperature=float(t.TEMPERATURE),
         boundary_head=t.BOUNDARY_HEAD,
-        sampling_impl=cfg.TPU.SAMPLING_IMPL,
+        sampling_impl=impl,
         tiled_halo=cfg.TPU.TILED_HALO,
         swin_type=cfg.MODEL.SWIN.TYPE,
         swin_drop_path=cfg.MODEL.SWIN.DROP_PATH_RATE,

@@ -54,7 +54,7 @@ def test_ctc_unk_ignore_rule():
 
 
 def test_match_ctrl_points_prefers_closer_gt():
-    from gomatching_tpu.engine.spotter_losses import match_ctrl_points
+    from gomatching_tpu.engine.spotter_losses import assign, match_ctrl_points_cost
 
     nq, G, npts, voc = 4, 2, 3, 5
     rng = np.random.RandomState(2)
@@ -74,7 +74,7 @@ def test_match_ctrl_points_prefers_closer_gt():
         "texts": jnp.full((1, G, npts), voc, jnp.int32),
         "valid": jnp.ones((1, G), bool),
     }
-    m = np.asarray(match_ctrl_points(outputs, targets, voc, 1.0, 1.0, 0.0))
+    m = np.asarray(assign(*match_ctrl_points_cost(outputs, targets, voc, 1.0, 1.0, 0.0)))
     assert m[0, 1] == 0 and m[0, 3] == 1
     assert m[0, 0] == -1 and m[0, 2] == -1
 
