@@ -398,12 +398,14 @@ def get_cfg() -> CfgNode:
     # (gather-based, exact, works everywhere), or 'pallas' (VMEM-gather
     # kernel; ops/deform_attn_pallas.py)
     r.SAMPLING_IMPL = "vmem"
-    # max |sampling offset| (target-level cells) resolved exactly by the tiled
-    # path; size it with ops.deform_attn_tiled.deform_attn_dropped_mass.
-    # 7 is the block-rounding sweet spot: footprints round to the same extents
-    # as halo=4 (45 vs 66 ms/layer at halo=8 on v5e) while covering offsets
-    # nearly as far; the init scheme caps offsets at 4 cells (P * unit radial)
-    r.TILED_HALO = 7
+    # max |sampling offset| (target-level cells) resolved exactly by the
+    # tiled/vmem encoder samplers; size it with tools/certify_halo.py
+    # (ops.deform_attn_tiled.deform_attn_dropped_mass). The init scheme caps
+    # offsets at 4 cells (P * unit radial); a 300-iter synthetic pretrain
+    # (tools/synthetic_pretrain.py) learns offsets to ~4.2 cells with ZERO
+    # dropped attention mass at halo>=4 — 5 keeps a margin. Raise it (or use
+    # 'xla') if certify_halo flags a converted checkpoint.
+    r.TILED_HALO = 5
     c.TPU = r
 
     return c

@@ -38,8 +38,11 @@ Layout decisions (all shaped by Mosaic lowering rules):
     MXU-friendly, unlike per-row (Q, Fw) @ (Fw, D) slivers.
   - All four target levels run in one kernel so tile coords/attention load
     once and the output writes once.
-  - Footprint window offsets carry ``pl.multiple_of(_, block)`` hints —
-    Mosaic must prove sublane-tile divisibility for Element windows.
+  - Footprint window x-offsets carry ``pl.multiple_of(_, block)`` hints —
+    Mosaic must prove sublane-tile divisibility for Element windows on the
+    grid's sublane (Wp) dim. The y (Hp) dim is a major dim: offsets are
+    arbitrary, so footprint heights are EXACT (tile + 2*halo + 1), not
+    block-rounded.
 
 Grid is (T, B) with the head loop inside the kernel by default
 (heads_per_step=M): ~560 steps/layer at 1000 px instead of ~4480, so
@@ -202,7 +205,10 @@ def ms_deform_attn_encoder_vmem(
         ox_np = np.zeros((L, T), np.int32)
         for l2, (H2, W2) in enumerate(spatial_shapes):
             Hp2, Wp2 = grids[l2].shape[2], grids[l2].shape[3]
-            oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, block)
+            # y rides a MAJOR dim of the grid block — Element offsets there
+            # need no sublane-divisibility proof, so the footprint height is
+            # exact (tile + 2*halo + 1) instead of block-rounded
+            oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, 1)
             oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)
             geom.append((Fh, Fw))
             oy_np[l2] = np.repeat(np.asarray(oys, np.int32), ntx)
@@ -252,7 +258,7 @@ def _level_pallas(grids, geom, oy_np, ox_np, x_arr, y_arr, a_arr, *, T, Q, B, M,
                 return (
                     b_,
                     m_ * Mb,
-                    pl.multiple_of(org_ref[l2, t_], block),
+                    org_ref[l2, t_],
                     pl.multiple_of(org_ref[L + l2, t_], block),
                     0,
                 )
@@ -279,7 +285,7 @@ def _level_pallas(grids, geom, oy_np, ox_np, x_arr, y_arr, a_arr, *, T, Q, B, M,
                 return (
                     b_,
                     0,
-                    pl.multiple_of(org_ref[l2, t_], block),
+                    org_ref[l2, t_],
                     pl.multiple_of(org_ref[L + l2, t_], block),
                     0,
                 )
@@ -360,7 +366,10 @@ def ms_deform_attn_encoder_vmem_tm(
         ox_np = np.zeros((L, T), np.int32)
         for l2, (H2, W2) in enumerate(spatial_shapes):
             Hp2, Wp2 = grids[l2].shape[2], grids[l2].shape[3]
-            oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, block)
+            # y rides a MAJOR dim of the grid block — Element offsets there
+            # need no sublane-divisibility proof, so the footprint height is
+            # exact (tile + 2*halo + 1) instead of block-rounded
+            oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, 1)
             oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)
             geom.append((Fh, Fw))
             oy_np[l2] = np.repeat(np.asarray(oys, np.int32), ntx)

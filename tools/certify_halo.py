@@ -36,6 +36,8 @@ def level_shapes(h, w, pad=32):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config-file", required=True)
+    ap.add_argument("--weights", default="", help="npz param tree; spotter-only "
+                    "checkpoints (tools/synthetic_pretrain.py) merge over random init")
     ap.add_argument("--image", nargs="*", default=[])
     ap.add_argument("--size", default="", help="HxW calibration size override")
     ap.add_argument("--halos", default="1,2,3,4,5,6,7,8")
@@ -64,6 +66,16 @@ def main():
         args.config_file, ["TPU.SAMPLING_IMPL", "xla"] + list(args.opts)
     )
     predictor = VideoPredictor(cfg)
+    if args.weights:
+        from gomatching_tpu.engine.checkpoint import load_params
+
+        loaded = load_params(args.weights)["params"]
+        p = dict(predictor.params["params"])
+        dev = jax.devices()[0]
+        for k, v in loaded.items():
+            p[k] = jax.device_put(v, dev)
+        predictor.params = {"params": p}
+        print(f"# merged weights from {args.weights}: {sorted(loaded)}")
 
     if args.image:
         import cv2
