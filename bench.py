@@ -34,7 +34,7 @@ def _warmup_device():
 
 def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
-    spot_batch = int(os.environ.get("BENCH_BATCH", "2"))
+    spot_batch = int(os.environ.get("BENCH_BATCH", "3"))
     precision = os.environ.get("BENCH_PRECISION", "bfloat16")
     impl = os.environ.get("BENCH_IMPL", "")  # override TPU.SAMPLING_IMPL
 

@@ -383,7 +383,10 @@ def get_cfg() -> CfgNode:
     r = CfgNode()
     r.MESH_DATA = -1  # -1: all devices on the data axis
     r.MESH_MODEL = 1
-    r.SPOT_BATCH = 2  # frames spotted per device step during video inference
+    # frames spotted per device step during video inference: 3 amortizes the
+    # per-call RPC overheads best with the round-3 kernels (7.05 vs 6.57 fps
+    # at 2); >=4 faults the tunneled worker (docs/PERF_NOTES.md)
+    r.SPOT_BATCH = 3
     # (>2 at 1000px currently trips a TPU runtime fault on v5e; revisit per release)
     r.MAX_INST = 100  # static per-frame instance capacity after thresholding
     r.MAX_GT = 60  # static per-image GT capacity for pretraining targets
