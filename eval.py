@@ -163,7 +163,11 @@ def main():
             f"total_time: {time_cost['total_time']:.2f} "
             f"FPS: {total_frames_count / time_cost['total_time']:.2f}"
         )
-    print(time_cost)
+    # bucket parity note vs the reference's time_cost print
+    # (gom_lstmatcher.py:273-289): backbone/rescore ride inside 'detector'
+    # here — the whole spotter is ONE fused jit (a deliberate TPU design),
+    # so their standalone buckets are structurally 0
+    print(time_cost, "(backbone+rescore fused into detector)")
 
 
 if __name__ == "__main__":

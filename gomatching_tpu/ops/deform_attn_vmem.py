@@ -62,13 +62,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .deform_attn_tiled import (
-    _DEFAULT_TILES,
     _footprint_bounds,
     _level_starts,
     _pad_level_grids,
     _tile_queries,
     _untile_queries,
 )
+
+
+# vmem-path query tile shapes (ty, tx) per source level: with exact y-extents
+# an 8-row tile shrinks the dominant footprint ~25% (Fh = ty + 2*halo + 1)
+# while tx=16 keeps Q = 128 = one full lane vector on every level
+_VMEM_TILES = ((8, 16), (8, 16), (8, 16), (8, 16))
+
+
+def _norm_tiles(tile_sizes, L):
+    tiles = list(tile_sizes) if tile_sizes is not None else list(_VMEM_TILES[:L])
+    while len(tiles) < L:
+        tiles.append(tiles[-1])
+    return [(t, t) if isinstance(t, int) else (int(t[0]), int(t[1])) for t in tiles]
 
 
 def tile_major_perm(
@@ -83,16 +95,14 @@ def tile_major_perm(
     into a row gather + matrix transpose (docs/PERF_NOTES.md round 3).
     """
     L = len(spatial_shapes)
-    tiles = list(tile_sizes) if tile_sizes is not None else list(_DEFAULT_TILES[:L])
-    while len(tiles) < L:
-        tiles.append(max(2, tiles[-1] // 2))
+    tiles = _norm_tiles(tile_sizes, L)
     starts, _ = _level_starts(spatial_shapes)
     perm_parts = []
     level_info = []
     pos = 0
     for l, (H1, W1) in enumerate(spatial_shapes):
-        t = tiles[l]
-        ty, tx = min(t, H1), min(t, W1)
+        ty, tx = tiles[l]
+        ty, tx = min(ty, H1), min(tx, W1)
         nty, ntx = -(-H1 // ty), -(-W1 // tx)
         idx = np.zeros((nty * ty, ntx * tx), np.int64)
         iy, ix = np.mgrid[0 : nty * ty, 0 : ntx * tx]
@@ -178,9 +188,7 @@ def ms_deform_attn_encoder_vmem(
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert Lq == S, "vmem path requires queries == tokens (encoder self-attn)"
     out_dtype = value.dtype
-    tiles = list(tile_sizes) if tile_sizes is not None else list(_DEFAULT_TILES[:L])
-    while len(tiles) < L:
-        tiles.append(max(2, tiles[-1] // 2))
+    tiles = _norm_tiles(tile_sizes, L)
     Mb = M if heads_per_step in (0, M) else heads_per_step
     assert M % Mb == 0
     Mg = M // Mb
@@ -190,8 +198,8 @@ def ms_deform_attn_encoder_vmem(
 
     out_levels: List[jnp.ndarray] = []
     for l, (H1, W1) in enumerate(spatial_shapes):
-        t = tiles[l]
-        ty, tx = min(t, H1), min(t, W1)
+        ty, tx = tiles[l]
+        ty, tx = min(ty, H1), min(tx, W1)
         s = starts[l]
         loc_t, nty, ntx = _tile_queries(
             sampling_locations[:, s : s + H1 * W1], H1, W1, ty, tx
@@ -349,9 +357,7 @@ def ms_deform_attn_encoder_vmem_tm(
     B, S, M, D = value.shape
     _, _, L, P, _, S_tm = locT.shape
     out_dtype = value.dtype
-    tiles = list(tile_sizes) if tile_sizes is not None else list(_DEFAULT_TILES[:L])
-    while len(tiles) < L:
-        tiles.append(max(2, tiles[-1] // 2))
+    tiles = _norm_tiles(tile_sizes, L)
     Mb = M if heads_per_step in (0, M) else heads_per_step
     assert M % Mb == 0
     Mg = M // Mb
