@@ -68,16 +68,24 @@ class TransposedDense(nn.Module):
     Same parameter tree as ``nn.Dense`` (kernel (C, F), bias (F,)), applied as
     an einsum contraction so the output is born with the token axis minor —
     the layout the fused encoder sampler consumes (no per-layer element-
-    strided transpose)."""
+    strided transpose). ``col_perm`` (static, new->old) reorders the OUTPUT
+    feature rows without touching the canonical parameter layout, so the
+    kernel-v2 sampler can consume rows grouped (level, head) while the
+    converter/golden contract keeps the reference ordering."""
 
     features: int
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros
+    col_perm: Optional[Any] = None
 
     @nn.compact
     def __call__(self, xT):
         k = self.param("kernel", self.kernel_init, (xT.shape[1], self.features))
         b = self.param("bias", self.bias_init, (self.features,))
+        if self.col_perm is not None:
+            cp = jnp.asarray(self.col_perm)
+            k = k[:, cp]
+            b = b[cp]
         return jnp.einsum("bcs,cf->bfs", xT, k.astype(xT.dtype)) + b.astype(
             xT.dtype
         )[None, :, None]
@@ -123,62 +131,61 @@ class MSDeformAttn(nn.Module):
             and is_encoder_self_attn
             and token_valid is None
         ):
-            # Encoder fast path: sampling geometry is BORN in the fused
-            # kernel's layout. The offsets/attention projections run as
+            # Encoder fast path (kernel v2): sampling geometry is BORN in the
+            # fused kernel's layout. The offsets/attention projections run as
             # (C, S)-contraction matmuls on a tile-major permuted token axis
-            # (one row gather + one 2D transpose), replacing the
-            # element-strided tile/transpose prep that cost ~10 ms/layer
-            # (docs/PERF_NOTES.md round 3). Same parameters, same math:
-            # reference points are the grid centers the caller passes when
-            # inputs are un-padded (valid_ratios == 1).
+            # with their feature rows statically reordered to (level, head)
+            # groups, and the kernel windows those outputs DIRECTLY — no
+            # location tensor, no relayout; reference coordinates come from
+            # the in-kernel tile-affine query iota. Same parameters, same
+            # math: reference points are the grid centers the caller passes
+            # when inputs are un-padded (valid_ratios == 1).
             assert Lq == value.shape[1]
             from ..ops.deform_attn_vmem import (
-                ms_deform_attn_encoder_vmem_tm,
+                attn_column_perm,
+                ms_deform_attn_encoder_vmem_v2,
+                offset_column_perm,
+                tile_major_inverse,
                 tile_major_perm,
             )
 
             perm, _ = tile_major_perm(spatial_shapes)
-            S_tm = perm.shape[0]
             qp = jnp.take(query, jnp.asarray(perm), axis=1)  # (B, S_tm, C)
             qT = jnp.swapaxes(qp, 1, 2)  # (B, C, S_tm)
+            S_tm = perm.shape[0]
             offT = TransposedDense(
                 M * L * P * 2,
                 kernel_init=nn.initializers.zeros,
                 bias_init=_offset_grid_init(M, L, P),
+                col_perm=offset_column_perm(M, L, P),
                 name="sampling_offsets",
-            )(qT)
+            )(qT).astype(jnp.float32)  # (B, 2LMP, S_tm) rows (l, xy, m, p)
             attnT = TransposedDense(
                 M * L * P,
                 kernel_init=nn.initializers.zeros,
                 bias_init=nn.initializers.zeros,
+                col_perm=attn_column_perm(M, L, P),
                 name="attention_weights",
-            )(qT)
-            attnT = jax.nn.softmax(
-                attnT.reshape(B, M, L * P, S_tm), axis=2
-            ).reshape(B, M, L, P, S_tm)
-            # tile-major grid-center reference points (constant)
-            refs = []
-            for h, w in spatial_shapes:
-                gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
-                refs.append(
-                    np.stack([(gx.ravel() + 0.5) / w, (gy.ravel() + 0.5) / h], -1)
-                )
-            ref_tm = np.concatenate(refs, 0)[perm].T  # (2, S_tm)
-            wh_v = jnp.asarray(
-                [[w, h] for h, w in spatial_shapes], jnp.float32
-            ).reshape(1, 1, L, 1, 2, 1)
-            locT = (
-                jnp.asarray(ref_tm).reshape(1, 1, 1, 1, 2, S_tm)
-                + offT.reshape(B, M, L, P, 2, S_tm) / wh_v
+            )(qT).astype(jnp.float32)  # (B, LMP, S_tm) rows (l, m, p)
+            # softmax over (level, point) jointly per head — rows are strided
+            # in the (l, m, p) order, so reduce over axes (1, 3) of the
+            # major-split view (pure elementwise + reductions, no relayout)
+            z = attnT.reshape(B, L, M, P, S_tm)
+            z = z - jax.lax.stop_gradient(jnp.max(z, axis=(1, 3), keepdims=True))
+            e = jnp.exp(z)
+            attnT = (e / jnp.sum(e, axis=(1, 3), keepdims=True)).reshape(
+                B, L * M * P, S_tm
             )
             dd = jax.config.jax_default_device
             on_tpu = (
                 dd.platform if dd is not None else jax.default_backend()
             ) == "tpu"
-            out = ms_deform_attn_encoder_vmem_tm(
-                value, spatial_shapes, locT, attnT, halo=self.tiled_halo,
+            out_tm = ms_deform_attn_encoder_vmem_v2(
+                value, spatial_shapes, offT, attnT, halo=self.tiled_halo,
                 interpret=not on_tpu,
-            )
+            )  # (B, S_tm, M*D) tile-major
+            inv = tile_major_inverse(spatial_shapes)
+            out = jnp.take(out_tm, jnp.asarray(inv), axis=1)
             return nn.Dense(C, name="output_proj")(out)
 
         offsets = nn.Dense(

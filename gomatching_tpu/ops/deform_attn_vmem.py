@@ -72,7 +72,12 @@ from .deform_attn_tiled import (
 
 # vmem-path query tile shapes (ty, tx) per source level: with exact y-extents
 # an 8-row tile shrinks the dominant footprint ~25% (Fh = ty + 2*halo + 1)
-# while tx=16 keeps Q = 128 = one full lane vector on every level
+# while tx=16 keeps Q = 128 = one full lane vector on every level. (Mosaic
+# also REQUIRES token-axis blocks of >=128 in the v2 projection-layout
+# kernel, so smaller tiles are not an option there.) The coarsest level's
+# 16-wide tile spans a 67 x 144 level-0 footprint: at f32 that OOM'd the v1
+# kernel's D=32-minor windows (4x lane padding), but v2's natural-layout
+# M*D=256-minor windows pack exactly (~10 MB/window) and fit.
 _VMEM_TILES = ((8, 16), (8, 16), (8, 16), (8, 16))
 
 
@@ -103,6 +108,9 @@ def tile_major_perm(
     for l, (H1, W1) in enumerate(spatial_shapes):
         ty, tx = tiles[l]
         ty, tx = min(ty, H1), min(tx, W1)
+        # keep tx a power of two: the v2 kernel derives query (row, col)
+        # from an in-tile iota via // and % tx
+        tx = 1 << (tx.bit_length() - 1)
         nty, ntx = -(-H1 // ty), -(-W1 // tx)
         idx = np.zeros((nty * ty, ntx * tx), np.int64)
         iy, ix = np.mgrid[0 : nty * ty, 0 : ntx * tx]
@@ -114,6 +122,271 @@ def tile_major_perm(
         level_info.append((pos, nty * ntx, ty * tx, ty, tx, nty, ntx))
         pos += tiled.size
     return np.concatenate(perm_parts).astype(np.int32), level_info
+
+
+def tile_major_inverse(
+    spatial_shapes: Sequence[Tuple[int, int]],
+    tile_sizes: Optional[Sequence[int]] = None,
+) -> np.ndarray:
+    """(S,) int32: tile-major position of each natural-order token.
+
+    ``take(out_tm, inv, axis=token)`` drops the edge-tile filler slots and
+    restores level-concatenated natural order (inverse of ``tile_major_perm``
+    restricted to real tokens)."""
+    perm, level_info = tile_major_perm(spatial_shapes, tile_sizes)
+    S = sum(h * w for h, w in spatial_shapes)
+    inv = np.zeros((S,), np.int64)
+    starts, _ = _level_starts(spatial_shapes)
+    for l, (H1, W1) in enumerate(spatial_shapes):
+        pos, T, Q, ty, tx, nty, ntx = level_info[l]
+        iy, ix = np.mgrid[0 : nty * ty, 0 : ntx * tx]
+        valid = (iy < H1) & (ix < W1)
+        tm_pos = pos + np.arange(T * Q).reshape(nty, ntx, ty, tx).transpose(
+            0, 2, 1, 3
+        ).reshape(nty * ty, ntx * tx)
+        inv[starts[l] + (iy * W1 + ix)[valid]] = tm_pos[valid]
+    return inv.astype(np.int32)
+
+
+def offset_column_perm(M: int, L: int, P: int) -> np.ndarray:
+    """Column permutation taking the canonical sampling-offsets feature order
+    (m, l, p, xy) to the kernel-v2 row order (l, xy, m, p): new -> old index."""
+    return (
+        np.arange(M * L * P * 2)
+        .reshape(M, L, P, 2)
+        .transpose(1, 3, 0, 2)
+        .reshape(-1)
+        .astype(np.int32)
+    )
+
+
+def attn_column_perm(M: int, L: int, P: int) -> np.ndarray:
+    """Canonical attention-weights order (m, l, p) -> kernel-v2 order (l, m, p)."""
+    return (
+        np.arange(M * L * P).reshape(M, L, P).transpose(1, 0, 2).reshape(-1).astype(np.int32)
+    )
+
+
+def pad_level_grids_natural(value, spatial_shapes, block):
+    """(B, S, M, D) -> list of (B, Hp, Wp, M*D) zero-padded level grids.
+
+    Natural channel-minor layout: pure reshape + pad — no head-major transpose
+    (the XLA relayout that cost ~3.6 ms/layer in the (B, M, Hp, Wp, D) form).
+    The M*D=256-lane minor dim also packs VMEM windows exactly, where the
+    D=32-minor form padded every window 4x (the round-3 f32 VMEM OOM)."""
+    B, S, M, D = value.shape
+    starts, total = _level_starts(spatial_shapes)
+    assert total == S
+    grids = []
+    for (h, w), s in zip(spatial_shapes, starts):
+        g = value[:, s : s + h * w].reshape(B, h, w, M * D)
+        hp, wp = -(-h // block) * block, -(-w // block) * block
+        g = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        grids.append(g)
+    return grids
+
+
+def _kernel_v2(
+    org_ref, off_ref, attn_ref, *refs, geom, scales, tile_info, M, L, P, Q, D,
+    out_dtype,
+):
+    """One (tile, batch) step of the projection-layout encoder kernel.
+
+    refs = [fp_0..fp_{L-1}, out, g_0..g_{L-1}, acc]. Blocks (squeezed):
+      off (2*L*M*P, Q) f32 raw sampling offsets in TARGET-level cells, rows
+        ordered (l2, xy, m, p) — the order ``offset_column_perm`` emits;
+      attn (L*M*P, Q) f32 softmaxed weights, rows ordered (l2, m, p);
+      fp_l (1, Fh, Fw, M*D) natural-layout footprint window; out (1, Q, M*D);
+      g_l (Fh, Fw, Q) f32 scratch; acc (Q, M*D) f32 scratch.
+
+    Reference x/y coordinates are derived in-kernel from the tile-affine
+    query iota (queries are grid tokens), so no location tensor is ever
+    materialized in HBM. Per (head, target-level) the one-hot G contracts
+    against the FULL-head window (K, M*D) on the MXU — 8x the minimal flops
+    but at full 256-lane MXU utilization (vs 32/128 lanes for a (K, D) dot)
+    — and a head-column mask selects the head's slice on accumulation.
+    """
+    ty, tx, ntx = tile_info
+    t = pl.program_id(0)
+    ty0 = (t // ntx) * ty
+    tx0 = (t % ntx) * tx
+    fp_refs = refs[:L]
+    out_ref = refs[L]
+    g_refs = refs[L + 1 : L + 1 + L]
+    acc_ref = refs[-1]
+
+    # query grid coords within the source level, Q on lanes
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
+    row = (qi // tx).astype(jnp.float32)
+    col = (qi % tx).astype(jnp.float32)
+
+    for m in range(M):
+        accm = None
+        for l2, (Fh, Fw) in enumerate(geom):
+            sy, sx = scales[l2]
+            oy = org_ref[l2, t]
+            ox = org_ref[L + l2, t]
+            xb = ((l2 * 2 + 0) * M + m) * P
+            yb = ((l2 * 2 + 1) * M + m) * P
+            ab = (l2 * M + m) * P
+            gx = (tx0 + 0.5) * sx - 0.5 + col * sx  # (1, Q)
+            gy = (ty0 + 0.5) * sy - 0.5 + row * sy
+            x = gx - ox.astype(jnp.float32) + off_ref[xb : xb + P]  # (P, Q)
+            y = gy - oy.astype(jnp.float32) + off_ref[yb : yb + P]
+            a = attn_ref[ab : ab + P]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            dx = (x - x0).reshape(P, 1, Q)
+            dy = (y - y0).reshape(P, 1, Q)
+            xi = x0.astype(jnp.int32).reshape(P, 1, Q)
+            yi = y0.astype(jnp.int32).reshape(P, 1, Q)
+            ix = jax.lax.broadcasted_iota(jnp.int32, (P, Fw, Q), 1)
+            iy = jax.lax.broadcasted_iota(jnp.int32, (P, Fh, Q), 1)
+            xw = jnp.where(ix == xi, 1.0 - dx, 0.0) + jnp.where(ix == xi + 1, dx, 0.0)
+            yw = jnp.where(iy == yi, 1.0 - dy, 0.0) + jnp.where(iy == yi + 1, dy, 0.0)
+            yw = yw * a.reshape(P, 1, Q)
+            yw4 = yw.reshape(P, Fh, 1, Q)
+            g = g_refs[l2]
+            for p in range(P):
+                term = yw4[p] * xw[p].reshape(1, Fw, Q)
+                if p == 0:
+                    g[...] = term
+                else:
+                    g[...] += term
+            G = g[...].reshape(Fh * Fw, Q).astype(out_dtype)
+            V = fp_refs[l2][0].reshape(Fh * Fw, M * D)
+            U = jax.lax.dot_general(
+                G, V, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (Q, M*D)
+            accm = U if accm is None else accm + U
+        mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, M * D), 1) // D == m
+        ).astype(jnp.float32)
+        if m == 0:
+            acc_ref[...] = accm * mask
+        else:
+            acc_ref[...] += accm * mask
+    out_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def ms_deform_attn_encoder_vmem_v2(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    offT: jnp.ndarray,
+    attnT: jnp.ndarray,
+    halo: int = 8,
+    block: int = 8,
+    tile_sizes: Optional[Sequence[int]] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Projection-layout fused encoder kernel (kernel v2).
+
+    Args:
+      value: (B, S, M, D) level-concatenated per-head values, natural order.
+      offT: (B, 2*L*M*P, S_tm) f32 RAW sampling offsets in target-level cells
+        on the tile-major token axis, rows ordered (l2, xy, m, p) — exactly
+        what the transposed offsets projection emits after
+        ``offset_column_perm`` (reference keeps offsets in cell units:
+        loc*W2 = ref*W2 + off, ms_deform_attn.py:134-139).
+      attnT: (B, L*M*P, S_tm) f32 softmaxed attention, rows (l2, m, p).
+
+    Returns (B, S_tm, M*D) in TILE-MAJOR token order (edge-tile filler slots
+    hold garbage; drop them with ``tile_major_inverse``).
+
+    vs ``ms_deform_attn_encoder_vmem_tm``: no location/attention relayout at
+    all (blocks window the projection outputs directly), natural-layout value
+    grids (no head transpose), and the output is born token-major for the
+    output projection. Same numerical contract (exact within ``halo``).
+    """
+    B, S, M, D = value.shape
+    F2 = offT.shape[1]
+    L = len(spatial_shapes)
+    P = F2 // (2 * L * M)
+    assert F2 == 2 * L * M * P and attnT.shape[1] == L * M * P
+    S_tm = offT.shape[2]
+    out_dtype = value.dtype
+    tiles = _norm_tiles(tile_sizes, L)
+
+    grids = pad_level_grids_natural(value, spatial_shapes, block)
+    _, level_info = tile_major_perm(spatial_shapes, tiles)
+    assert level_info[-1][0] + level_info[-1][1] * level_info[-1][2] == S_tm
+
+    out_levels: List[jnp.ndarray] = []
+    for l, (H1, W1) in enumerate(spatial_shapes):
+        s_tm, T, Q, ty, tx, nty, ntx = level_info[l]
+        assert tx & (tx - 1) == 0, "in-kernel query iota needs power-of-two tx"
+        geom: List[Tuple[int, int]] = []
+        scales: List[Tuple[float, float]] = []
+        oy_np = np.zeros((L, T), np.int32)
+        ox_np = np.zeros((L, T), np.int32)
+        for l2, (H2, W2) in enumerate(spatial_shapes):
+            Hp2, Wp2 = grids[l2].shape[1], grids[l2].shape[2]
+            oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, 1)
+            oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)
+            geom.append((Fh, Fw))
+            scales.append((H2 / H1, W2 / W1))
+            oy_np[l2] = np.repeat(np.asarray(oys, np.int32), ntx)
+            ox_np[l2] = np.tile(np.asarray(oxs, np.int32), nty)
+        org = jnp.asarray(np.stack([oy_np, ox_np], axis=0).reshape(2 * L, T))
+
+        def fp_spec(l2, Fh, Fw):
+            def idx(t_, b_, org_ref):
+                return (
+                    b_,
+                    org_ref[l2, t_],
+                    pl.multiple_of(org_ref[L + l2, t_], block),
+                    0,
+                )
+
+            return pl.BlockSpec(
+                (pl.Element(1), pl.Element(Fh), pl.Element(Fw), pl.Element(M * D)),
+                idx,
+            )
+
+        if s_tm % Q == 0:
+            # production shapes: window the full tile-major arrays in place
+            off_l, attn_l, qblk = offT, attnT, s_tm // Q
+        else:
+            # tiny/test shapes with mixed per-level Q: one static minor-axis
+            # slice per level keeps the block index aligned
+            off_l = jax.lax.slice_in_dim(offT, s_tm, s_tm + T * Q, axis=2)
+            attn_l = jax.lax.slice_in_dim(attnT, s_tm, s_tm + T * Q, axis=2)
+            qblk = 0
+        off_spec = pl.BlockSpec(
+            (None, F2, Q), lambda t_, b_, org_ref, qb=qblk: (b_, 0, qb + t_)
+        )
+        attn_spec = pl.BlockSpec(
+            (None, L * M * P, Q), lambda t_, b_, org_ref, qb=qblk: (b_, 0, qb + t_)
+        )
+        out_spec = pl.BlockSpec(
+            (None, Q, M * D), lambda t_, b_, org_ref: (b_, t_, 0)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T, B),
+            in_specs=[off_spec, attn_spec]
+            + [fp_spec(l2, fh, fw) for l2, (fh, fw) in enumerate(geom)],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((fh, fw, Q), jnp.float32) for fh, fw in geom]
+            + [pltpu.VMEM((Q, M * D), jnp.float32)],
+        )
+        kern = functools.partial(
+            _kernel_v2, geom=geom, scales=scales, tile_info=(ty, tx, ntx),
+            M=M, L=L, P=P, Q=Q, D=D, out_dtype=out_dtype,
+        )
+        out_levels.append(
+            pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((B, T * Q, M * D), out_dtype),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=interpret,
+            )(org, off_l, attn_l, *[g.astype(out_dtype) for g in grids])
+        )
+
+    return jnp.concatenate(out_levels, axis=1)
 
 
 def _kernel(org_ref, x_ref, y_ref, a_ref, *refs, geom, Mb, P, Q, D, out_dtype):

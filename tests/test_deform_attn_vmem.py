@@ -71,6 +71,47 @@ def test_encoder_vmem_tile_major_entry():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
+def test_encoder_vmem_v2_projection_layout():
+    """Kernel v2 (projection-layout inputs, natural-layout grids, token-major
+    output) must reproduce the tiled reference on real tokens."""
+    from gomatching_tpu.ops.deform_attn_tiled import ms_deform_attn_encoder_tiled
+    from gomatching_tpu.ops.deform_attn_vmem import (
+        ms_deform_attn_encoder_vmem_v2,
+        tile_major_inverse,
+        tile_major_perm,
+    )
+
+    value, loc, attn = _enc_inputs(seed=2)
+    # raw per-target-level cell offsets from the normalized locations
+    refs = []
+    for h, w in SHAPES:
+        gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+        refs.append(np.stack([(gx.ravel() + 0.5) / w, (gy.ravel() + 0.5) / h], -1))
+    ref = np.concatenate(refs, 0)[None, :, None, None, None, :]
+    wh = np.array([[w, h] for h, w in SHAPES], np.float32)
+    off_cells = (np.asarray(loc) - ref) * wh[None, None, None, :, None, :]
+
+    perm, _ = tile_major_perm(SHAPES, TILES)
+    # (B, S_tm, M, L, P, 2) -> rows (l, xy, m, p) with tokens minor
+    offT = jnp.asarray(
+        np.transpose(off_cells[:, perm], (0, 3, 5, 2, 4, 1)).reshape(
+            B, L * 2 * M * P, -1
+        )
+    )
+    attnT = jnp.asarray(
+        np.transpose(np.asarray(attn)[:, perm], (0, 3, 2, 4, 1)).reshape(
+            B, L * M * P, -1
+        )
+    )
+    want = ms_deform_attn_encoder_tiled(value, SHAPES, loc, attn, halo=2, tile_sizes=TILES)
+    got_tm = ms_deform_attn_encoder_vmem_v2(
+        value, SHAPES, offT, attnT, halo=2, tile_sizes=TILES, interpret=True
+    )
+    inv = tile_major_inverse(SHAPES, TILES)
+    got = jnp.take(got_tm, jnp.asarray(inv), axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
 def test_decoder_queries_vmem_exact():
     """Full-level one-hot kernel for arbitrary queries == gather core,
     including out-of-range sampling locations (zero-padding semantics)."""
