@@ -37,6 +37,12 @@ def main():
     spot_batch = int(os.environ.get("BENCH_BATCH", "3"))
     precision = os.environ.get("BENCH_PRECISION", "bfloat16")
     impl = os.environ.get("BENCH_IMPL", "")  # override TPU.SAMPLING_IMPL
+    # production ingestion default: planar I420 frames (half the upload bytes;
+    # the tunneled host link moves ~35 MB/s and raw 720p RGB alone costs
+    # ~84 ms/frame = a 12 fps hard cap; video sources are 4:2:0 at origin and
+    # the decode matches cv2's own I420 roundtrip — data/preprocess.py).
+    # BENCH_UPLOAD=rgb measures the bit-exact reference-parity wire format.
+    upload = os.environ.get("BENCH_UPLOAD", "yuv420")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
@@ -52,6 +58,7 @@ def main():
             "MODEL.WEIGHTS", "''",
             "TPU.SPOT_BATCH", str(spot_batch),
             "MODEL.PRECISION", precision,
+            "TPU.UPLOAD_FORMAT", upload,
         ]
         + (["TPU.SAMPLING_IMPL", impl] if impl else []),
     )
@@ -73,9 +80,16 @@ def main():
     target_hw = compute_test_size(
         orig_hw[0], orig_hw[1], cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST
     )
-    spot = predictor._raw_spot_fn(tuple(orig_hw), target_hw)
-    raw = np.stack(frames[:spot_batch])
-    flat = spot(predictor.params, jnp.asarray(raw), jnp.float32(predictor.score_thresh))
+    # calibrate through the SAME (nmap-folded) program process_video runs, so
+    # the big spot program compiles exactly once
+    nm = predictor.spot_super
+    spot = predictor._raw_spot_fn(tuple(orig_hw), target_hw, nm)
+    raw = np.stack(frames[: spot_batch * nm])
+    wire = predictor.encode_frames(raw)
+    if nm > 1:
+        wire = wire.reshape((nm, spot_batch) + wire.shape[1:])
+    flat = spot(predictor.params, jnp.asarray(wire),
+                jnp.float32(predictor.score_thresh))
     scores = predictor.unpack_spot(np.asarray(flat))["scores"]
     compile_s = time.time() - t0
     predictor.score_thresh = float(np.quantile(scores, 1.0 - 20.0 / scores.shape[1]))
@@ -99,7 +113,7 @@ def main():
     n_inst = sum(len(f) for f in tracked) / max(len(tracked), 1)
     print(
         f"# frames={n_frames} batch={spot_batch} precision={precision} "
-        f"compile={compile_s:.0f}s inst/frame={n_inst:.1f} "
+        f"upload={upload} compile={compile_s:.0f}s inst/frame={n_inst:.1f} "
         f"stage_times={ {k: round(v, 3) for k, v in tc.items()} }",
         file=sys.stderr,
     )

@@ -388,6 +388,11 @@ def get_cfg() -> CfgNode:
     # at 2); >=4 faults the tunneled worker (docs/PERF_NOTES.md)
     r.SPOT_BATCH = 3
     # (>2 at 1000px currently trips a TPU runtime fault on v5e; revisit per release)
+    # SPOT_BATCH-sized batches folded into ONE device dispatch (lax.map) during
+    # video inference: each RPC through the tunneled TPU costs ~30-40 ms fixed,
+    # so per-batch dispatch taxes a window by #batches round trips; the map
+    # keeps the per-step compute shape at SPOT_BATCH (>= 4 faults the worker)
+    r.SPOT_SUPER = 2
     r.MAX_INST = 100  # static per-frame instance capacity after thresholding
     r.MAX_GT = 60  # static per-image GT capacity for pretraining targets
     r.PAD_TO = 32  # frame padding multiple for static feature shapes
@@ -409,6 +414,14 @@ def get_cfg() -> CfgNode:
     # dropped attention mass at halo>=4 — 5 keeps a margin. Raise it (or use
     # 'xla') if certify_halo flags a converted checkpoint.
     r.TILED_HALO = 5
+    # host->device frame wire format for video inference: 'rgb' ships raw
+    # uint8 frames (bit-exact reference parity), 'yuv420' ships planar I420
+    # (half the bytes; video sources are 4:2:0 at origin, and the device-side
+    # decode matches cv2's own I420 roundtrip — see data/preprocess.py
+    # encode_i420/decode_i420). Use yuv420 when the host link is the e2e
+    # bottleneck (e.g. a tunneled TPU at ~35 MB/s). Falls back to rgb for
+    # odd frame dimensions.
+    r.UPLOAD_FORMAT = "rgb"
     c.TPU = r
 
     return c

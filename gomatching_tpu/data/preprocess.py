@@ -89,6 +89,51 @@ def device_preprocess(raw_u8, target_hw, pixel_mean, pixel_std, input_format="RG
     return (x - mean) / std
 
 
+def encode_i420(batch_u8: np.ndarray) -> np.ndarray:
+    """HOST: BGR uint8 (B, H, W, 3) -> planar I420 (B, H*3//2, W) uint8.
+
+    Halves the host->device byte volume (1.5 B/px vs 3): through a tunneled
+    TPU moving ~35 MB/s, raw-frame upload is the e2e wall, and video sources
+    are 4:2:0 at origin anyway (the extracted frames came out of H.264), so
+    chroma subsampling re-drops information the camera pipeline already
+    dropped. cv2's BGR2YUV_I420 (studio-swing BT.601); ``decode_i420`` is its
+    measured inverse (mean |err| ~1.4 LSB, max 9 — identical to cv2's own
+    YUV2BGR_I420 roundtrip). Requires even H, W.
+    """
+    import cv2
+
+    return np.stack(
+        [cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_BGR2YUV_I420)
+         for f in batch_u8]
+    )
+
+
+def decode_i420(yuv_u8):
+    """DEVICE: planar I420 (B, H*3//2, W) uint8 -> BGR float (B, H, W, 3).
+
+    Inverse of cv2's studio-swing BT.601 with nearest (2x-duplicate) chroma
+    upsampling — the same convention as cv2.COLOR_YUV2BGR_I420, which bounds
+    the roundtrip error at sharp chroma edges (bilinear upsampling smears
+    them: measured max |err| 89 vs 9). Returns values in [0, 255] (rounded),
+    ready for ``device_preprocess``-style normalization.
+    """
+    import jax.numpy as jnp
+
+    B, h32, W = yuv_u8.shape
+    H = h32 * 2 // 3
+    q = H // 4
+    y = yuv_u8[:, :H].astype(jnp.float32)
+    u = yuv_u8[:, H : H + q].reshape(B, H // 2, W // 2).astype(jnp.float32)
+    v = yuv_u8[:, H + q :].reshape(B, H // 2, W // 2).astype(jnp.float32)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
+    yf = 1.1644 * (y - 16.0)
+    r = yf + 1.5960 * v
+    g = yf - 0.3918 * u - 0.8130 * v
+    b = yf + 2.0172 * u
+    return jnp.clip(jnp.round(jnp.stack([b, g, r], axis=-1)), 0.0, 255.0)
+
+
 def preprocess_frames(
     frames,
     pixel_mean,

@@ -96,6 +96,7 @@ class VideoPredictor:
         else:
             self.params = jax.device_put(params, jax.devices()[0])
         self.spot_batch = cfg.TPU.SPOT_BATCH
+        self.spot_super = max(1, int(getattr(cfg.TPU, "SPOT_SUPER", 1)))
         # detection threshold: a traced scalar so callers (e.g. bench calibration)
         # can adjust it without recompiling the spot program
         self.score_thresh = float(cfg.MODEL.TRANSFORMER.INFERENCE_TH_TEST)
@@ -108,6 +109,8 @@ class VideoPredictor:
             lambda p, imgs, hw: self.model.apply(p, imgs, hw, method=GoMatchingModel.spot_and_detect)
         )
         self._raw_spot_fns = {}  # (in_h, in_w) -> jitted uint8-raw-frames spot fn
+        self._concat_fns = {}  # n_chunks -> jitted device-side concat
+        self.upload_format = getattr(cfg.TPU, "UPLOAD_FORMAT", "rgb")
         use_pos = not cfg.MODEL.ASSO_HEAD.NO_POS_EMB
         if use_pos:
             self._assoc_short = jax.jit(
@@ -193,12 +196,19 @@ class VideoPredictor:
                 file=sys.stderr,
             )
 
-    def _raw_spot_fn(self, orig_hw: tuple, target_hw: tuple):
+    def _raw_spot_fn(self, orig_hw: tuple, target_hw: tuple, nmap: int = 1):
         """Jitted uint8-raw-frames -> detections fn (resize+normalize on device);
         cached per input resolution (static shapes under jit). Under a mesh the
         frame-batch axis is sharded over 'data' (the inference analogue of the
-        reference's single-GPU-per-video loop, SURVEY.md §2.7)."""
-        key = (orig_hw, target_hw)
+        reference's single-GPU-per-video loop, SURVEY.md §2.7).
+
+        ``nmap`` > 1 folds that many SPOT_BATCH-sized batches into ONE device
+        dispatch via ``lax.map`` (input gains a leading nmap axis): through
+        the tunnel every RPC costs ~30-40 ms fixed, so dispatching per batch
+        taxes a window by #batches round trips; the map keeps the per-step
+        compute shape identical (batch >= 4 faults the axon worker — the map
+        sidesteps that by sequencing inside the program)."""
+        key = (orig_hw, target_hw, nmap)
         fn = self._raw_spot_fns.get(key)
         if fn is None:
             from ..data.preprocess import device_preprocess
@@ -207,7 +217,14 @@ class VideoPredictor:
             std = self.cfg.MODEL.PIXEL_STD
             fmt = self.cfg.INPUT.FORMAT
 
+            yuv = self.upload_format == "yuv420" and orig_hw[0] % 2 == 0 \
+                and orig_hw[1] % 2 == 0
+
             def raw_fn(p, raw_u8, thresh):
+                if yuv:
+                    from ..data.preprocess import decode_i420
+
+                    raw_u8 = decode_i420(raw_u8)
                 imgs = device_preprocess(raw_u8, target_hw, mean, std, fmt)
                 out = self.model.apply(
                     p, imgs, None, thresh, method=GoMatchingModel.spot_and_detect
@@ -237,9 +254,62 @@ class VideoPredictor:
                 fn = jax.jit(
                     raw_fn, in_shardings=(None, batch_s, repl), out_shardings=batch_s
                 )
+            elif nmap > 1:
+                def mapped_fn(p, raw_stack, thresh):
+                    out = jax.lax.map(lambda r: raw_fn(p, r, thresh), raw_stack)
+                    return out.reshape((-1,) + out.shape[2:])
+
+                fn = jax.jit(mapped_fn)
             else:
                 fn = jax.jit(raw_fn)
             self._raw_spot_fns[key] = fn
+        return fn
+
+    def _dispatch_window(self, batch: np.ndarray, orig_hw, target_hw, th):
+        """Upload + dispatch one window of frames in SPOT_BATCH*SPOT_SUPER
+        super-chunks. Returns [(device_output (rows, nq, K), rows, keep)]
+        where ``keep`` counts real (un-padded) frames in the super-chunk."""
+        n = len(batch)
+        bs = self.spot_batch
+        sup = self.spot_super if self.mesh is None else 1
+        step = bs * sup
+        pending = []
+        for s in range(0, n, step):
+            chunk = batch[s : s + step]
+            keep = len(chunk)
+            pad = (-keep) % bs
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)]
+                )
+            nm = len(chunk) // bs
+            wire = self.encode_frames(chunk)
+            if nm > 1:
+                wire = wire.reshape((nm, bs) + wire.shape[1:])
+            dev = jax.device_put(wire)
+            out = self._raw_spot_fn(orig_hw, target_hw, nm)(self.params, dev, th)
+            pending.append((out, nm * bs, keep))
+        return pending
+
+    def encode_frames(self, chunk_u8: np.ndarray) -> np.ndarray:
+        """uint8 BGR frames -> the wire format ``_raw_spot_fn`` expects
+        (planar I420 when TPU.UPLOAD_FORMAT=yuv420 and dims are even)."""
+        if (
+            self.upload_format == "yuv420"
+            and chunk_u8.shape[1] % 2 == 0
+            and chunk_u8.shape[2] % 2 == 0
+        ):
+            from ..data.preprocess import encode_i420
+
+            return encode_i420(chunk_u8)
+        return chunk_u8
+
+    def _concat_fn(self, n: int):
+        """Jitted n-way batch-axis concat (single-fetch window outputs)."""
+        fn = self._concat_fns.get(n)
+        if fn is None:
+            fn = jax.jit(lambda *xs: jnp.concatenate(xs, 0) if len(xs) > 1 else xs[0])
+            self._concat_fns[n] = fn
         return fn
 
     def unpack_spot(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
@@ -278,29 +348,24 @@ class VideoPredictor:
             self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST,
         )
         batch = np.stack([np.ascontiguousarray(f) for f in frames])  # (N, H, W, 3) u8
-        spot = self._raw_spot_fn(orig_hw, (in_h, in_w))
         tc["pre_process"] = tc.get("pre_process", 0) + time.time() - t0
 
         dets: List[FrameDetections] = []
         t0 = time.time()
-        n = len(batch)
-        bs = self.spot_batch
-        # issue EVERY host->device frame transfer first (async), then dispatch
-        # every compute batch before fetching anything: at ~30-40 MB/s through
-        # the tunnel the raw uint8 uploads rival the spot compute itself, so
-        # they must pipeline ahead of it rather than interleave with dispatch
+        # issue every host->device transfer + dispatch up front (uploads and
+        # compute pipeline behind one another through the tunnel), then fetch
+        # the whole window's packed outputs in ONE round trip: per-RPC fixed
+        # cost is ~30-40 ms, so both the per-batch dispatches (folded nmap-to-1
+        # by the lax.map spot variant) and the per-batch fetches (folded by the
+        # on-device concat) taxed a window by ~0.5 s before this
         th = jnp.float32(self.score_thresh)
-        chunks = []
-        for s in range(0, n, bs):
-            chunk = batch[s : s + bs]
-            pad = bs - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
-            chunks.append((jax.device_put(chunk), bs - pad))
-        pending = [(spot(self.params, dev, th), keep) for dev, keep in chunks]
-        outs = [
-            self.unpack_spot(np.asarray(flat)[:keep]) for flat, keep in pending
-        ]
+        pending = self._dispatch_window(batch, orig_hw, (in_h, in_w), th)
+        flat_all = np.asarray(self._concat_fn(len(pending))(*[f for f, _, _ in pending]))
+        outs = []
+        s = 0
+        for _, rows, keep in pending:
+            outs.append(self.unpack_spot(flat_all[s : s + keep]))
+            s += rows
         tc["detector"] = tc.get("detector", 0) + time.time() - t0
 
         for ci, out in enumerate(outs):
@@ -333,25 +398,15 @@ class VideoPredictor:
             self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST,
         )
         batch = np.stack([np.ascontiguousarray(f) for f in frames])
-        spot = self._raw_spot_fn(orig_hw, (in_h, in_w))
         self._orig_hw = orig_hw
         tc["pre_process"] = tc.get("pre_process", 0) + time.time() - t0
 
         t0 = time.time()
-        n = len(batch)
-        bs = self.spot_batch
         th = jnp.float32(self.score_thresh)
-        chunks = []
-        for s in range(0, n, bs):
-            chunk = batch[s : s + bs]
-            pad = bs - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
-            chunks.append((jax.device_put(chunk), bs - pad))
-        pending = [(spot(self.params, dev, th), keep) for dev, keep in chunks]
+        pending = self._dispatch_window(batch, orig_hw, (in_h, in_w), th)
         tc["detector"] = tc.get("detector", 0) + time.time() - t0
 
-        for out_dev, keep in pending:
+        for out_dev, _, keep in pending:
             t0 = time.time()
             out = self.unpack_spot(np.asarray(out_dev)[:keep])
             tc["detector"] = tc.get("detector", 0) + time.time() - t0

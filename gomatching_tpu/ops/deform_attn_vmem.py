@@ -188,7 +188,7 @@ def pad_level_grids_natural(value, spatial_shapes, block):
 
 def _kernel_v2(
     org_ref, off_ref, attn_ref, *refs, geom, scales, tile_info, M, L, P, Q, D,
-    out_dtype,
+    out_dtype, ablate=frozenset(),
 ):
     """One (tile, batch) step of the projection-layout encoder kernel.
 
@@ -247,17 +247,25 @@ def _kernel_v2(
             yw = yw * a.reshape(P, 1, Q)
             yw4 = yw.reshape(P, Fh, 1, Q)
             g = g_refs[l2]
-            for p in range(P):
-                term = yw4[p] * xw[p].reshape(1, Fw, Q)
-                if p == 0:
-                    g[...] = term
-                else:
-                    g[...] += term
+            if "gbuild" in ablate:  # timing ablation: skip the one-hot build
+                g[...] = jnp.full((Fh, Fw, Q), x[0, 0], jnp.float32)
+            else:
+                for p in range(P):
+                    term = yw4[p] * xw[p].reshape(1, Fw, Q)
+                    if p == 0:
+                        g[...] = term
+                    else:
+                        g[...] += term
             G = g[...].reshape(Fh * Fw, Q).astype(out_dtype)
             V = fp_refs[l2][0].reshape(Fh * Fw, M * D)
-            U = jax.lax.dot_general(
-                G, V, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )  # (Q, M*D)
+            if "dot" in ablate:  # timing ablation: skip the MXU contraction
+                U = (
+                    g[0, 0, 0] + V[0].astype(jnp.float32)
+                ).reshape(1, M * D) * jnp.ones((Q, 1), jnp.float32)
+            else:
+                U = jax.lax.dot_general(
+                    G, V, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )  # (Q, M*D)
             accm = U if accm is None else accm + U
         mask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, M * D), 1) // D == m
@@ -278,6 +286,7 @@ def ms_deform_attn_encoder_vmem_v2(
     block: int = 8,
     tile_sizes: Optional[Sequence[int]] = None,
     interpret: bool = False,
+    ablate: frozenset = frozenset(),  # timing-only: {"gbuild", "dot"}
 ) -> jnp.ndarray:
     """Projection-layout fused encoder kernel (kernel v2).
 
@@ -331,6 +340,8 @@ def ms_deform_attn_encoder_vmem_v2(
 
         def fp_spec(l2, Fh, Fw):
             def idx(t_, b_, org_ref):
+                if "fixorg" in ablate:  # timing ablation: static (0,0) windows
+                    return (b_, 0, 0, 0)
                 return (
                     b_,
                     org_ref[l2, t_],
@@ -372,7 +383,7 @@ def ms_deform_attn_encoder_vmem_v2(
         )
         kern = functools.partial(
             _kernel_v2, geom=geom, scales=scales, tile_info=(ty, tx, ntx),
-            M=M, L=L, P=P, Q=Q, D=D, out_dtype=out_dtype,
+            M=M, L=L, P=P, Q=Q, D=D, out_dtype=out_dtype, ablate=ablate,
         )
         out_levels.append(
             pl.pallas_call(

@@ -33,7 +33,10 @@ def main():
         cfg = setup_eval_cfg(
             "configs/GoMatching_ICDAR15.yaml",
             ["MODEL.WEIGHTS", "''", "TPU.SPOT_BATCH", str(batch),
-             "TPU.SAMPLING_IMPL", impl],
+             "TPU.SAMPLING_IMPL", impl,
+             "MODEL.PRECISION", os.environ.get("PROBE_PRECISION", "float32"),
+             "TPU.TILED_HALO", os.environ.get("PROBE_HALO", "5")]
+            + os.environ.get("PROBE_OPTS", "").split(),
         )
         pred = VideoPredictor(cfg, params=None)
         target_hw = compute_test_size(720, 1280, cfg.INPUT.MIN_SIZE_TEST,
