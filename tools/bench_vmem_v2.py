@@ -29,7 +29,14 @@ def main():
 
     from gomatching_tpu.ops.deform_attn_vmem import (
         ms_deform_attn_encoder_vmem_v2,
+        ms_deform_attn_encoder_vmem_v3,
         tile_major_perm,
+    )
+
+    kernel = (
+        ms_deform_attn_encoder_vmem_v3
+        if os.environ.get("KERNEL", "v2") == "v3"
+        else ms_deform_attn_encoder_vmem_v2
     )
 
     dtype = jnp.bfloat16 if dtype_s == "bf16" else jnp.float32
@@ -55,7 +62,7 @@ def main():
             jnp.asarray(rng.randn(B, L * M * P, S_tm), jnp.float32), axis=1
         )
         ablate = frozenset(os.environ.get("ABLATE", "").split())
-        fn = jax.jit(lambda v, o, a, ts=tiles: ms_deform_attn_encoder_vmem_v2(
+        fn = jax.jit(lambda v, o, a, ts=tiles: kernel(
             v, shapes, o, a, halo=halo, block=block, tile_sizes=ts,
             ablate=ablate))
         try:
