@@ -273,9 +273,13 @@ class VideoPredictor:
         bs = self.spot_batch
         sup = self.spot_super if self.mesh is None else 1
         step = bs * sup
+        # the first super-chunk is a single batch: compute starts after one
+        # batch's upload instead of `sup` batches' worth (the ~35 MB/s tunnel
+        # makes the upload ramp the pipeline's exposed prefix)
+        bounds = list(range(bs if sup > 1 and n > bs else step, n, step))
         pending = []
-        for s in range(0, n, step):
-            chunk = batch[s : s + step]
+        for s, e in zip([0] + bounds, bounds + [n]):
+            chunk = batch[s:e]
             keep = len(chunk)
             pad = (-keep) % bs
             if pad:

@@ -148,3 +148,26 @@ def test_predictor_with_pos_embeddings():
     assert len(tracked) == 4
     for det in tracked:
         assert len(np.unique(det.track_ids)) == len(det.track_ids)
+
+
+def test_dispatch_window_chunking(predictor):
+    """Super-chunk boundaries: first chunk is a single batch (pipeline ramp),
+    interior chunks are SPOT_BATCH*SPOT_SUPER, the tail is padded to a batch
+    multiple, and every real frame is covered exactly once."""
+    import jax.numpy as jnp
+
+    bs, sup = predictor.spot_batch, predictor.spot_super
+    for n in (1, 2, 3, 5, 7, 11):
+        frames = np.stack(
+            [np.full((64, 96, 3), i, np.uint8) for i in range(n)]
+        )
+        pending = predictor._dispatch_window(
+            frames, (64, 96), (64, 96), jnp.float32(0.5)
+        )
+        keeps = [k for _, _, k in pending]
+        assert sum(keeps) == n
+        for out, rows, keep in pending:
+            assert rows % bs == 0 and 0 < keep <= rows
+            assert out.shape[0] == rows
+        if sup > 1 and n > bs:
+            assert pending[0][1] == bs  # ramp chunk is one batch
