@@ -387,7 +387,6 @@ def get_cfg() -> CfgNode:
     # per-call RPC overheads best with the round-3 kernels (7.05 vs 6.57 fps
     # at 2); >=4 faults the tunneled worker (docs/PERF_NOTES.md)
     r.SPOT_BATCH = 3
-    # (>2 at 1000px currently trips a TPU runtime fault on v5e; revisit per release)
     # SPOT_BATCH-sized batches folded into ONE device dispatch (lax.map) during
     # video inference: each RPC through the tunneled TPU costs ~30-40 ms fixed,
     # so per-batch dispatch taxes a window by #batches round trips; the map

@@ -121,10 +121,13 @@ def decode_i420(yuv_u8):
 
     B, h32, W = yuv_u8.shape
     H = h32 * 2 // 3
-    q = H // 4
     y = yuv_u8[:, :H].astype(jnp.float32)
-    u = yuv_u8[:, H : H + q].reshape(B, H // 2, W // 2).astype(jnp.float32)
-    v = yuv_u8[:, H + q :].reshape(B, H // 2, W // 2).astype(jnp.float32)
+    # split the chroma region by BYTES, not buffer rows: for H % 4 != 0 (e.g.
+    # 718) the U plane ends mid-row of the (H*3/2, W) I420 buffer
+    nc = H * W // 4
+    chroma = yuv_u8[:, H:].reshape(B, 2 * nc)
+    u = chroma[:, :nc].reshape(B, H // 2, W // 2).astype(jnp.float32)
+    v = chroma[:, nc:].reshape(B, H // 2, W // 2).astype(jnp.float32)
     u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
     v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
     yf = 1.1644 * (y - 16.0)

@@ -33,6 +33,16 @@ from .layers import MLP, FFN, MultiHeadAttention
 from .pos_encoding import point_query_pos_embed, position_encoding_2d
 
 
+def _on_tpu() -> bool:
+    """True when jit will target a TPU (honoring an explicit default device;
+    a string-valued jax_default_device also resolves via its platform)."""
+    dd = jax.config.jax_default_device
+    if dd is None:
+        return jax.default_backend() == "tpu"
+    plat = getattr(dd, "platform", dd)
+    return str(plat) == "tpu"
+
+
 def bernstein_matrix(num_points: int) -> np.ndarray:
     """(num_points, 4) cubic Bernstein basis evaluated at linspace(0, 1)."""
     t = np.linspace(0.0, 1.0, num_points)[:, None]
@@ -176,13 +186,9 @@ class MSDeformAttn(nn.Module):
             attnT = (e / jnp.sum(e, axis=(1, 3), keepdims=True)).reshape(
                 B, L * M * P, S_tm
             )
-            dd = jax.config.jax_default_device
-            on_tpu = (
-                dd.platform if dd is not None else jax.default_backend()
-            ) == "tpu"
             out_tm = ms_deform_attn_encoder_vmem_v2(
                 value, spatial_shapes, offT, attnT, halo=self.tiled_halo,
-                interpret=not on_tpu,
+                interpret=not _on_tpu(),
             )  # (B, S_tm, M*D) tile-major
             inv = tile_major_inverse(spatial_shapes)
             out = jnp.take(out_tm, jnp.asarray(inv), axis=1)
@@ -240,10 +246,8 @@ class MSDeformAttn(nn.Module):
             # gather core (ops/deform_attn_dec_vmem.py)
             from ..ops.deform_attn_dec_vmem import ms_deform_attn_queries_vmem
 
-            dd = jax.config.jax_default_device
-            on_tpu = (dd.platform if dd is not None else jax.default_backend()) == "tpu"
             out = ms_deform_attn_queries_vmem(
-                value, spatial_shapes, loc, attn, interpret=not on_tpu
+                value, spatial_shapes, loc, attn, interpret=not _on_tpu()
             )
         else:
             out = ms_deform_attn_core(value, spatial_shapes, loc, attn, query_chunk=query_chunk)

@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .deform_attn_tiled import _pad_level_grids
+from .deform_attn_vmem import _accum_onehot_g
 
 
 def _kernel(x_ref, y_ref, a_ref, *refs, geom, P, Qb, D, out_dtype):
@@ -52,25 +53,8 @@ def _kernel(x_ref, y_ref, a_ref, *refs, geom, P, Qb, D, out_dtype):
         x = x_ref[l2]  # (P, Qb)
         y = y_ref[l2]
         a = a_ref[l2]
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        dx = (x - x0).reshape(P, 1, Qb)
-        dy = (y - y0).reshape(P, 1, Qb)
-        xi = x0.astype(jnp.int32).reshape(P, 1, Qb)
-        yi = y0.astype(jnp.int32).reshape(P, 1, Qb)
-        ix = jax.lax.broadcasted_iota(jnp.int32, (P, Fw, Qb), 1)
-        iy = jax.lax.broadcasted_iota(jnp.int32, (P, Fh, Qb), 1)
-        xw = jnp.where(ix == xi, 1.0 - dx, 0.0) + jnp.where(ix == xi + 1, dx, 0.0)
-        yw = jnp.where(iy == yi, 1.0 - dy, 0.0) + jnp.where(iy == yi + 1, dy, 0.0)
-        yw = yw * a.reshape(P, 1, Qb)
-        yw4 = yw.reshape(P, Fh, 1, Qb)
         g = g_refs[l2]
-        for p in range(P):
-            term = yw4[p] * xw[p].reshape(1, Fw, Qb)
-            if p == 0:
-                g[...] = term
-            else:
-                g[...] += term
+        _accum_onehot_g(g, x, y, a, Fh, Fw, P, Qb)
         G = g[...].reshape(Fh * Fw, Qb).astype(out_dtype)
         acc = acc + jax.lax.dot_general(
             G,

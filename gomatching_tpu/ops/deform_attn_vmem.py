@@ -186,6 +186,39 @@ def pad_level_grids_natural(value, spatial_shapes, block):
     return grids
 
 
+def _accum_onehot_g(g_ref, x, y, a, Fh, Fw, P, Q, ablate=frozenset()):
+    """Build the bilinear/attention one-hot G into the ``g_ref`` VMEM scratch
+    via the outer-product form (shared by every fused sampler kernel).
+
+    x/y: (P, Q) f32 sampling coords LOCAL to the (Fh, Fw) footprint; a:
+    (P, Q) softmaxed attention. G[ky, kx, q] = sum_p a_p * wy_p(ky) * wx_p(kx)
+    with wy/wx the 2-tap bilinear one-hots (iota compare against floor/ceil).
+    Out-of-footprint corners contribute nothing (zero-padding / halo-drop
+    semantics are decided by the caller's footprint geometry).
+    """
+    if "gbuild" in ablate:  # timing ablation: skip the one-hot build
+        g_ref[...] = jnp.full((Fh, Fw, Q), x[0, 0], jnp.float32)
+        return
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0).reshape(P, 1, Q)
+    dy = (y - y0).reshape(P, 1, Q)
+    xi = x0.astype(jnp.int32).reshape(P, 1, Q)
+    yi = y0.astype(jnp.int32).reshape(P, 1, Q)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (P, Fw, Q), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (P, Fh, Q), 1)
+    xw = jnp.where(ix == xi, 1.0 - dx, 0.0) + jnp.where(ix == xi + 1, dx, 0.0)
+    yw = jnp.where(iy == yi, 1.0 - dy, 0.0) + jnp.where(iy == yi + 1, dy, 0.0)
+    yw = yw * a.reshape(P, 1, Q)
+    yw4 = yw.reshape(P, Fh, 1, Q)  # f32 minor-dim insert: one relayout
+    for p in range(P):
+        term = yw4[p] * xw[p].reshape(1, Fw, Q)
+        if p == 0:
+            g_ref[...] = term
+        else:
+            g_ref[...] += term
+
+
 def _kernel_v2(
     org_ref, off_ref, attn_ref, *refs, geom, scales, tile_info, M, L, P, Q,
     D, out_dtype, ablate=frozenset(),
@@ -235,28 +268,8 @@ def _kernel_v2(
             x = gx - ox.astype(jnp.float32) + off_ref[xb : xb + P]  # (P, Q)
             y = gy - oy.astype(jnp.float32) + off_ref[yb : yb + P]
             a = attn_ref[ab : ab + P]
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            dx = (x - x0).reshape(P, 1, Q)
-            dy = (y - y0).reshape(P, 1, Q)
-            xi = x0.astype(jnp.int32).reshape(P, 1, Q)
-            yi = y0.astype(jnp.int32).reshape(P, 1, Q)
-            ix = jax.lax.broadcasted_iota(jnp.int32, (P, Fw, Q), 1)
-            iy = jax.lax.broadcasted_iota(jnp.int32, (P, Fh, Q), 1)
-            xw = jnp.where(ix == xi, 1.0 - dx, 0.0) + jnp.where(ix == xi + 1, dx, 0.0)
-            yw = jnp.where(iy == yi, 1.0 - dy, 0.0) + jnp.where(iy == yi + 1, dy, 0.0)
-            yw = yw * a.reshape(P, 1, Q)
-            yw4 = yw.reshape(P, Fh, 1, Q)
             g = g_refs[j]
-            if "gbuild" in ablate:  # timing ablation: skip the one-hot build
-                g[...] = jnp.full((Fh, Fw, Q), x[0, 0], jnp.float32)
-            else:
-                for p in range(P):
-                    term = yw4[p] * xw[p].reshape(1, Fw, Q)
-                    if p == 0:
-                        g[...] = term
-                    else:
-                        g[...] += term
+            _accum_onehot_g(g, x, y, a, Fh, Fw, P, Q, ablate)
             G = g[...].reshape(Fh * Fw, Q).astype(out_dtype)
             Vfull = fp_refs[j][0].reshape(Fh * Fw, M * D)
             V = Vfull if "widedot" in ablate else Vfull[:, m * D : (m + 1) * D]
@@ -412,7 +425,7 @@ def ms_deform_attn_encoder_vmem_v2(
 
 def _kernel_v3(
     org_ref, off_ref, attn_ref, *refs, geom, scales, tile_info, M, L, P, Q,
-    D, out_dtype, ablate=frozenset(),
+    D, block, out_dtype, ablate=frozenset(),
 ):
     """One (batch, tile) step of the RESIDENT-GRID encoder kernel (v3).
 
@@ -454,31 +467,11 @@ def _kernel_v3(
             x = gx - ox.astype(jnp.float32) + off_ref[xb : xb + P]  # (P, Q)
             y = gy - oy.astype(jnp.float32) + off_ref[yb : yb + P]
             a = attn_ref[ab : ab + P]
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            dx = (x - x0).reshape(P, 1, Q)
-            dy = (y - y0).reshape(P, 1, Q)
-            xi = x0.astype(jnp.int32).reshape(P, 1, Q)
-            yi = y0.astype(jnp.int32).reshape(P, 1, Q)
-            ix = jax.lax.broadcasted_iota(jnp.int32, (P, Fw, Q), 1)
-            iy = jax.lax.broadcasted_iota(jnp.int32, (P, Fh, Q), 1)
-            xw = jnp.where(ix == xi, 1.0 - dx, 0.0) + jnp.where(ix == xi + 1, dx, 0.0)
-            yw = jnp.where(iy == yi, 1.0 - dy, 0.0) + jnp.where(iy == yi + 1, dy, 0.0)
-            yw = yw * a.reshape(P, 1, Q)
-            yw4 = yw.reshape(P, Fh, 1, Q)
             g = g_refs[j]
-            if "gbuild" in ablate:  # timing ablation: skip the one-hot build
-                g[...] = jnp.full((Fh, Fw, Q), x[0, 0], jnp.float32)
-            else:
-                for p in range(P):
-                    term = yw4[p] * xw[p].reshape(1, Fw, Q)
-                    if p == 0:
-                        g[...] = term
-                    else:
-                        g[...] += term
+            _accum_onehot_g(g, x, y, a, Fh, Fw, P, Q, ablate)
             G = g[...].reshape(Fh * Fw, Q).astype(out_dtype)
             V = fp_refs[j][
-                pl.ds(oy, Fh), pl.ds(pl.multiple_of(ox, 8), Fw), :
+                pl.ds(oy, Fh), pl.ds(pl.multiple_of(ox, block), Fw), :
             ].reshape(Fh * Fw, M * D)
             if "dot" in ablate:  # timing ablation: skip the MXU contraction
                 U = (
@@ -584,7 +577,8 @@ def ms_deform_attn_encoder_vmem_v3(
         )
         kern = functools.partial(
             _kernel_v3, geom=geom, scales=scales, tile_info=(ty, tx, ntx),
-            M=M, L=L, P=P, Q=Q, D=D, out_dtype=out_dtype, ablate=ablate,
+            M=M, L=L, P=P, Q=Q, D=D, block=block, out_dtype=out_dtype,
+            ablate=ablate,
         )
         out_levels.append(
             pl.pallas_call(
@@ -622,27 +616,10 @@ def _kernel(org_ref, x_ref, y_ref, a_ref, *refs, geom, Mb, P, Q, D, out_dtype):
             x = x_ref[l2, m]  # (P, Q) local float coords
             y = y_ref[l2, m]
             a = a_ref[l2, m]
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            dx = (x - x0).reshape(P, 1, Q)
-            dy = (y - y0).reshape(P, 1, Q)
-            xi = x0.astype(jnp.int32).reshape(P, 1, Q)
-            yi = y0.astype(jnp.int32).reshape(P, 1, Q)
-            ix = jax.lax.broadcasted_iota(jnp.int32, (P, Fw, Q), 1)
-            iy = jax.lax.broadcasted_iota(jnp.int32, (P, Fh, Q), 1)
-            xw = jnp.where(ix == xi, 1.0 - dx, 0.0) + jnp.where(ix == xi + 1, dx, 0.0)
-            yw = jnp.where(iy == yi, 1.0 - dy, 0.0) + jnp.where(iy == yi + 1, dy, 0.0)
-            yw = yw * a.reshape(P, 1, Q)
-            yw4 = yw.reshape(P, Fh, 1, Q)  # f32 minor-dim insert: one relayout
             # the G build stays f32: a bf16 scratch/build measured SLOWER
             # (23.0 vs 19.2 ms/layer) — Mosaic adds conversions, no packing
             g = g_refs[l2]
-            for p in range(P):
-                term = yw4[p] * xw[p].reshape(1, Fw, Q)  # (Fh, Fw, Q)
-                if p == 0:
-                    g[...] = term
-                else:
-                    g[...] += term
+            _accum_onehot_g(g, x, y, a, Fh, Fw, P, Q)
             G = g[...].reshape(Fh * Fw, Q).astype(out_dtype)  # major collapse
             V = fp_refs[l2][0, m].reshape(Fh * Fw, D)
             acc = acc + jax.lax.dot_general(

@@ -23,6 +23,24 @@ def _structured_frames(b=2, h=96, w=128):
     return np.stack(out)
 
 
+def test_i420_roundtrip_h_not_div4():
+    """Byte-based chroma split: heights divisible by 2 but not 4 (e.g. 718)
+    end the U plane mid-row of the I420 buffer and must still roundtrip."""
+    cv2 = pytest.importorskip("cv2")
+    from gomatching_tpu.data.preprocess import decode_i420, encode_i420
+
+    frames = _structured_frames(b=1, h=70, w=64)
+    wire = encode_i420(frames)
+    back = np.asarray(decode_i420(wire))
+    err = np.abs(back - frames.astype(np.float32))
+    cv_back = np.stack(
+        [cv2.cvtColor(wf, cv2.COLOR_YUV2BGR_I420) for wf in wire]
+    ).astype(np.float32)
+    cv_err = np.abs(cv_back - frames.astype(np.float32))
+    assert err.mean() <= cv_err.mean() + 0.5
+    assert err.max() <= cv_err.max() + 4
+
+
 def test_i420_roundtrip_matches_cv2():
     cv2 = pytest.importorskip("cv2")
     from gomatching_tpu.data.preprocess import decode_i420, encode_i420

@@ -145,29 +145,14 @@ def _artvideo_mask_iou(m1, m2):
     return inter / int(cv2.bitwise_or(m1, m2).sum())
 
 
-_ARV_KEEP = None  # compiled lazily (official cleaning regex, eval_e2e.py:111-114)
-
-
-def _artvideo_clean(t: str) -> str:
-    import re as _re
-
-    global _ARV_KEEP
-    if _ARV_KEEP is None:
-        _ARV_KEEP = _re.compile("([^一-龥0-9A-Za-z])")
-    return _ARV_KEEP.sub("", t).lower()
-
-
 def _artvideo_similarity(a: str, b: str) -> float:
-    """cal_similarity (eval_trk.py:66-72): empty==empty -> 1, edit distance 1
-    -> 0.95, else 1 - dist/maxlen."""
-    from gomatching_tpu.evaluation.mot_metrics import levenshtein
+    """cal_similarity (eval_trk.py:66-72) == the BOVText rule: delegate to the
+    library's ``bovtext_similarity`` (same clean charset, empty==empty -> 1,
+    edit distance 1 -> 0.95, else 1 - dist/maxlen) instead of carrying a
+    drift-prone second copy."""
+    from gomatching_tpu.evaluation.mot_metrics import bovtext_similarity
 
-    if a == "" and b == "":
-        return 1.0
-    d = levenshtein(a, b)
-    if d == 1:
-        return 0.95
-    return 1 - d / max(len(a), len(b))
+    return bovtext_similarity(a, b)
 
 
 def evaluate_video_artvideo(gt_path, res_frames, iou_threshold=0.5, e2e=False,
@@ -216,7 +201,7 @@ def evaluate_video_artvideo(gt_path, res_frames, iou_threshold=0.5, e2e=False,
                 if v < iou_threshold:
                     v = 0.0  # official NaN == unmatchable
                 elif e2e and _artvideo_similarity(
-                    _artvideo_clean(gt["transcription"]), _artvideo_clean(h_txts[j])
+                    gt["transcription"], h_txts[j]
                 ) < 0.9:
                     v = 0.0
                 iou[i, j] = v
@@ -258,7 +243,7 @@ def evaluate_video_icdar(gt_frames, res_frames, iou_threshold=0.5, e2e=False,
         normalized to [chinese|alnum].upper();
       - a video with zero surviving detections scores all-zero metrics.
 
-    Returns the per-video metrics dict (+ 'MOTAN', 'num_hyp').
+    Returns the per-video metrics dict (+ 'MOTAN').
     """
     n_det = 0
     acc = MOTAccumulator(iou_threshold=iou_threshold, strict_threshold=True,
@@ -292,8 +277,11 @@ def evaluate_video_icdar(gt_frames, res_frames, iou_threshold=0.5, e2e=False,
             [g_ids[i] for i in keep_g], [g_polys[i] for i in keep_g],
             [h_ids[j] for j in keep_h], [h_polys[j] for j in keep_h], texts,
         ))
-    zeros = {"MOTA": 0.0, "MOTP": 0.0, "IDF1": 0.0, "IDSW": 0, "FP": 0, "FN": 0,
-             "MT": 0, "PT": 0, "ML": 0, "num_gt": 0, "MOTAN": 0.0}
+    # same key set as the normal MOTAccumulator.metrics() path + MOTAN, so
+    # aggregation over videos never KeyErrors on the zero-detection branch
+    zeros = {"MOTA": 0.0, "MOTP": 0.0, "IDF1": 0.0, "IDP": 0.0, "IDR": 0.0,
+             "IDSW": 0, "FP": 0, "FN": 0, "MT": 0, "PT": 0, "ML": 0,
+             "precision": 0.0, "recall": 0.0, "num_gt": 0, "MOTAN": 0.0}
     if n_det == 0:  # 'Motmetrics fails if no detection...' — official zero row
         return zeros
     for g_ids, g_polys, h_ids, h_polys, texts in pending:
