@@ -24,12 +24,41 @@ def _warmup_device():
     """Poke the accelerator with a trivial program before the multi-minute model
     compile. The tunneled TPU worker can be mid-restart after a previous client
     crash; a cheap matmul either succeeds (worker healthy) or fails fast so the
-    retry wrapper can re-exec instead of wedging inside the big compile."""
-    import jax
+    retry wrapper can re-exec instead of wedging inside the big compile.
+    Sync via an actual FETCH — block_until_ready is unreliable through axon."""
     import jax.numpy as jnp
+    import numpy as np
 
     x = jnp.ones((256, 256))
-    jax.block_until_ready(x @ x)
+    _ = np.asarray(x @ x)[0, 0]
+
+
+def _wait_for_worker(max_wait_s=1500):
+    """Outage guard: the worker sometimes goes down for many minutes (a 2h+
+    outage was observed mid-round-3). Probe it in a SUBPROCESS with a hard
+    timeout (an in-process probe HANGS rather than erroring while the tunnel
+    is dead) and wait until it answers, bounded by ``max_wait_s``."""
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp, numpy as np;"
+             "x = jnp.ones((256, 256));"
+             "print(float(np.asarray(x @ x)[0, 0]))")
+    t0 = time.time()
+    while True:
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=120,
+                           check=True, capture_output=True)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            waited = time.time() - t0
+            if waited > max_wait_s:
+                print(f"# worker still unreachable after {waited:.0f}s; "
+                      "proceeding (the compile will surface the error)",
+                      file=sys.stderr)
+                return
+            print(f"# TPU worker unreachable ({waited:.0f}s); retrying...",
+                  file=sys.stderr)
+            time.sleep(45)
 
 
 def main():
@@ -45,6 +74,7 @@ def main():
     upload = os.environ.get("BENCH_UPLOAD", "yuv420")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _wait_for_worker()
     import jax
 
     _warmup_device()
@@ -139,7 +169,7 @@ if __name__ == "__main__":
     except Exception as e:  # noqa: BLE001
         msg = f"{type(e).__name__}: {e}"
         recoverable = "UNAVAILABLE" in msg or "crashed or restarted" in msg
-        if recoverable and attempt < 3:
+        if recoverable and attempt < 5:
             print(f"# attempt {attempt} failed ({msg[:200]}); re-exec after cooldown",
                   file=sys.stderr)
             time.sleep(60 * (attempt + 1))
