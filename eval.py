@@ -117,7 +117,12 @@ def main():
         if args.show:
             frames = [cv2.imread(p) for p in img_paths]
         else:
-            frames = (cv2.imread(p) for p in img_paths)
+            from gomatching_tpu.utils.prefetch import prefetch_iter
+
+            # decode on a background thread so JPEG decode (~10-20 ms/frame
+            # on this host) overlaps the device work instead of serializing
+            # between windows; the bounded queue keeps memory O(window)
+            frames = prefetch_iter((cv2.imread(p) for p in img_paths), 128)
         print(f"processing {video_name}... ({n_frames} frames)")
 
         t0 = time.time()

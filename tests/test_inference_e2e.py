@@ -171,3 +171,23 @@ def test_dispatch_window_chunking(predictor):
             assert out.shape[0] == rows
         if sup > 1 and n > bs:
             assert pending[0][1] == bs  # ramp chunk is one batch
+
+
+def test_prefetch_iter():
+    """Background-decode prefetcher: order preserved, exceptions forwarded,
+    tuple items pass through (no sentinel collision)."""
+    from gomatching_tpu.utils.prefetch import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(50)), 4)) == list(range(50))
+    assert list(prefetch_iter(iter([(1, 2)]), 2)) == [(1, 2)]
+
+    def gen():
+        yield "a"
+        raise ValueError("boom")
+
+    it = prefetch_iter(gen(), 2)
+    assert next(it) == "a"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        next(it)
