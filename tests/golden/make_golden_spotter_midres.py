@@ -33,7 +33,8 @@ def prod_cfg():
     return cfg
 
 
-def main(path: str, pad_frac: float = 0.0, case: str = "sq", seed: int = 0):
+def main(path: str, pad_frac: float = 0.0, case: str = "sq", seed: int = 0,
+         base_hw=BASE_HW):
     from ref_loader import load_reference_adet
 
     load_reference_adet()
@@ -59,7 +60,7 @@ def main(path: str, pad_frac: float = 0.0, case: str = "sq", seed: int = 0):
     out = {}
     feats, pos = [], []
     for lvl, c in enumerate(CHANNELS):
-        h, w = BASE_HW[0] // 2**lvl, BASE_HW[1] // 2**lvl
+        h, w = base_hw[0] // 2**lvl, base_hw[1] // 2**lvl
         x = torch.from_numpy(rng.randn(1, c, h, w).astype(np.float32))
         mask = torch.zeros(1, h, w, dtype=torch.bool)
         if pad_frac > 0:

@@ -172,3 +172,31 @@ def test_spotter_midres_bf16_drift(golden, jax_params):
     assert same.any()
     assert ds.max() < 0.05, ds.max()
     assert per_q[same].max() < 0.06, per_q[same].max()
+
+
+def test_spotter_fullres_fp32_parity(tmp_path):
+    """PRODUCTION-resolution parity: the reference wobackbone spotter at the
+    stride-8 level of a 1000x1778 ICDAR15 test frame (125x223 -> ~37k tokens
+    across 4 levels, nq=100, 25 points, 6+6 layers) against the converted JAX
+    spotter, fp32 on CPU. Everything the mid-res golden checks, at the exact
+    production extents (detection_transformer_wobackbone.py:159)."""
+    import make_golden_spotter_midres
+    from convert_torch_weights import convert
+    from make_golden_spotter_midres import prod_cfg
+
+    path = str(tmp_path / "spotter_fullres.npz")
+    make_golden_spotter_midres.main(path, base_hw=(125, 223))
+    golden = np.load(path)
+    cfg = prod_cfg()
+    sd = {k[len("sd.") :]: golden[k] for k in golden.files if k.startswith("sd.")}
+    tree, missing, _ = convert(sd, cfg)
+    assert not [k for k in missing if k.startswith("detection_transformer.")]
+    params = {"params": tree["params"]["detection_transformer"]}
+    spotter = _build_spotter(cfg)
+    feats, pos = _inputs(golden)
+    out = spotter.apply(params, feats, pos, None)
+    for k in OUT_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), golden[f"sq.out.{k}"], rtol=1e-3, atol=1e-3,
+            err_msg=k,
+        )
