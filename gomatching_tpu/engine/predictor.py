@@ -430,43 +430,6 @@ class VideoPredictor:
         self._orig_hw = orig_hw
         return dets
 
-    def spot_frames_iter(self, frames: List[np.ndarray], time_cost: Optional[Dict] = None):
-        """Like ``spot_frames`` but yields per-frame detections as device batches
-        complete, so the (host-side) tracker overlaps the remaining spot compute."""
-        from ..data.preprocess import compute_test_size
-
-        tc = time_cost if time_cost is not None else {}
-        t0 = time.time()
-        orig_hw = frames[0].shape[:2]
-        in_h, in_w = compute_test_size(
-            orig_hw[0], orig_hw[1],
-            self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST,
-        )
-        batch = np.stack([np.ascontiguousarray(f) for f in frames])
-        self._orig_hw = orig_hw
-        tc["pre_process"] = tc.get("pre_process", 0) + time.time() - t0
-
-        t0 = time.time()
-        th = jnp.float32(self.score_thresh)
-        pending = self._dispatch_window(batch, orig_hw, (in_h, in_w), th)
-        tc["detector"] = tc.get("detector", 0) + time.time() - t0
-
-        for out_dev, _, keep in pending:
-            t0 = time.time()
-            out = self.unpack_spot(np.asarray(out_dev)[:keep])
-            tc["detector"] = tc.get("detector", 0) + time.time() - t0
-            for i in range(keep):
-                valid = out["valid"][i]
-                yield FrameDetections(
-                    boxes=out["boxes"][i][valid],
-                    scores=out["scores"][i][valid],
-                    ctrl_points=out["ctrl_points"][i][valid],
-                    recs=out["recs"][i][valid],
-                    bd=out["bd"][i][valid],
-                    reid=out["reid"][i][valid],
-                    image_hw=(in_h, in_w),
-                )
-
     def process_video(self, frames, time_cost: Optional[Dict] = None,
                       window: int = 100):
         """Full pipeline for one video -> list of tracked FrameDetections scaled to
