@@ -7,9 +7,17 @@ weights (no published checkpoints ship with the reference repo either); the
 detection threshold is calibrated on the fly to the score distribution so the
 tracker sees a realistic ~20 instances/frame.
 
-Prints ONE JSON line:
+Prints ONE JSON line (re-printed with the better number if a second measured pass
+fits the budget):
   {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": fps/60}
 vs_baseline is against the 60 fps/chip north-star (BASELINE.md).
+
+Budget-proofing (the round-3 record was lost to rc=124): the whole run fits a
+hard wall-clock budget (BENCH_BUDGET, default 1500 s) that rides across the
+crash-retry re-execs via BENCH_T0 — the outage wait is capped, the JSON line is
+emitted and flushed immediately after the FIRST measured pass, and the
+calibrated threshold persists in .bench_state.json so a retry skips the
+calibration dispatch.
 """
 
 import json
@@ -18,6 +26,49 @@ import sys
 import time
 
 import numpy as np
+
+# one wall clock across re-execs: the first process stamps BENCH_T0
+T0 = float(os.environ.setdefault("BENCH_T0", repr(time.time())))
+BUDGET = float(os.environ.get("BENCH_BUDGET", "1500"))
+STATE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_state.json")
+
+
+def _remaining():
+    return BUDGET - (time.time() - T0)
+
+
+def _load_state():
+    try:
+        with open(STATE_PATH) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def _save_state(state):
+    try:
+        with open(STATE_PATH, "w") as f:
+            json.dump(state, f)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def _emit(fps, extra=""):
+    """Print + flush the result line the driver parses. Called right after the
+    first measured pass so a later crash/timeout can't erase the record."""
+    if extra:
+        print(extra, file=sys.stderr, flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "ICDAR15-video e2e spotting+tracking throughput",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / 60.0, 4),
+            }
+        ),
+        flush=True,
+    )
 
 
 def _warmup_device():
@@ -33,32 +84,35 @@ def _warmup_device():
     _ = np.asarray(x @ x)[0, 0]
 
 
-def _wait_for_worker(max_wait_s=1500):
+def _wait_for_worker():
     """Outage guard: the worker sometimes goes down for many minutes (a 2h+
     outage was observed mid-round-3). Probe it in a SUBPROCESS with a hard
     timeout (an in-process probe HANGS rather than erroring while the tunnel
-    is dead) and wait until it answers, bounded by ``max_wait_s``."""
+    is dead). The wait is CAPPED so an outage can't eat the driver's command
+    budget (round 3's record was lost to exactly that): at most ~7 min of
+    waiting, and never past the point where the compile couldn't fit anyway."""
     import subprocess
 
     probe = ("import jax, jax.numpy as jnp, numpy as np;"
              "x = jnp.ones((256, 256));"
              "print(float(np.asarray(x @ x)[0, 0]))")
+    max_wait_s = min(420.0, _remaining() - 600.0)
     t0 = time.time()
     while True:
         try:
             subprocess.run([sys.executable, "-c", probe], timeout=120,
                            check=True, capture_output=True)
-            return
+            return True
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
             waited = time.time() - t0
             if waited > max_wait_s:
-                print(f"# worker still unreachable after {waited:.0f}s; "
-                      "proceeding (the compile will surface the error)",
-                      file=sys.stderr)
-                return
+                print(f"# worker still unreachable after {waited:.0f}s (cap "
+                      f"{max_wait_s:.0f}s); proceeding — the compile will "
+                      "surface the error", file=sys.stderr, flush=True)
+                return False
             print(f"# TPU worker unreachable ({waited:.0f}s); retrying...",
-                  file=sys.stderr)
-            time.sleep(45)
+                  file=sys.stderr, flush=True)
+            time.sleep(30)
 
 
 def main():
@@ -76,6 +130,14 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     _wait_for_worker()
     import jax
+
+    # persistent compilation cache: free when the backend compiles client-side,
+    # harmless (simply never populated) when it compiles server-side
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # noqa: BLE001
+        pass
 
     _warmup_device()
 
@@ -97,82 +159,99 @@ def main():
     rng = np.random.RandomState(0)
     frames = [rng.randint(0, 255, (720, 1280, 3), dtype=np.uint8) for _ in range(n_frames)]
 
-    # calibrate a threshold giving ~20 dets/frame under random weights, so NMS +
-    # reid + the sequential tracker do realistic work
     import jax.numpy as jnp
 
     # calibrate a detection threshold giving ~20 instances/frame under random
-    # weights (the threshold is a traced arg on the predictor -> no recompile)
+    # weights, so NMS + reid + the sequential tracker do realistic work (the
+    # threshold is a traced arg on the predictor -> no recompile). A crash
+    # retry reuses the persisted value and skips the calibration dispatch.
+    state_key = f"{spot_batch}|{precision}|{upload}|{impl}|{n_frames}"
+    state = _load_state()
     t0 = time.time()
-    orig_hw = frames[0].shape[:2]
-    from gomatching_tpu.data.preprocess import compute_test_size
+    if state.get("key") == state_key and "thresh" in state:
+        predictor.score_thresh = float(state["thresh"])
+        compile_s = 0.0
+        print(f"# reusing calibrated threshold {predictor.score_thresh:.4f} "
+              "from .bench_state.json", file=sys.stderr, flush=True)
+    else:
+        orig_hw = frames[0].shape[:2]
+        from gomatching_tpu.data.preprocess import compute_test_size
 
-    target_hw = compute_test_size(
-        orig_hw[0], orig_hw[1], cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST
-    )
-    # calibrate through the SAME (nmap-folded) program process_video runs, so
-    # the big spot program compiles exactly once
-    nm = predictor.spot_super
-    spot = predictor._raw_spot_fn(tuple(orig_hw), target_hw, nm)
-    raw = np.stack(frames[: spot_batch * nm])
-    wire = predictor.encode_frames(raw)
-    if nm > 1:
-        wire = wire.reshape((nm, spot_batch) + wire.shape[1:])
-    flat = spot(predictor.params, jnp.asarray(wire),
-                jnp.float32(predictor.score_thresh))
-    scores = predictor.unpack_spot(np.asarray(flat))["scores"]
-    compile_s = time.time() - t0
-    predictor.score_thresh = float(np.quantile(scores, 1.0 - 20.0 / scores.shape[1]))
+        target_hw = compute_test_size(
+            orig_hw[0], orig_hw[1], cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST
+        )
+        # calibrate through the SAME (nmap-folded) program process_video runs,
+        # so the big spot program compiles exactly once
+        nm = predictor.spot_super
+        spot = predictor._raw_spot_fn(tuple(orig_hw), target_hw, nm)
+        raw = np.stack(frames[: spot_batch * nm])
+        wire = predictor.encode_frames(raw)
+        if nm > 1:
+            wire = wire.reshape((nm, spot_batch) + wire.shape[1:])
+        flat = spot(predictor.params, jnp.asarray(wire),
+                    jnp.float32(predictor.score_thresh))
+        scores = predictor.unpack_spot(np.asarray(flat))["scores"]
+        compile_s = time.time() - t0
+        predictor.score_thresh = float(
+            np.quantile(scores, 1.0 - 20.0 / scores.shape[1])
+        )
+        _save_state({"key": state_key, "thresh": predictor.score_thresh})
 
-    # warmup (second compile for the thresholded variant + association buckets)
+    # warmup (compiles the association buckets; spot program is already built)
     predictor.process_video(frames[: 2 * spot_batch])
 
-    # best of 2 measured passes: the tunneled TPU's per-call latency varies a
-    # lot between runs, and both passes reuse the compiled programs
-    elapsed = float("inf")
+    # first measured pass -> emit the record line IMMEDIATELY (the tunneled
+    # worker can crash at any time; round 3's number was lost to a timeout)
+    t0 = time.time()
     tc = {}
-    for _ in range(2):
-        t0 = time.time()
-        tc_i = {}
-        tracked = predictor.process_video(frames, tc_i)
-        e = time.time() - t0
-        if e < elapsed:
-            elapsed, tc = e, tc_i
+    tracked = predictor.process_video(frames, tc)
+    elapsed = time.time() - t0
     fps = n_frames / elapsed
 
     n_inst = sum(len(f) for f in tracked) / max(len(tracked), 1)
-    print(
-        f"# frames={n_frames} batch={spot_batch} precision={precision} "
-        f"upload={upload} compile={compile_s:.0f}s inst/frame={n_inst:.1f} "
-        f"stage_times={ {k: round(v, 3) for k, v in tc.items()} }",
-        file=sys.stderr,
+    _emit(
+        fps,
+        extra=(
+            f"# pass1: frames={n_frames} batch={spot_batch} precision={precision} "
+            f"upload={upload} compile={compile_s:.0f}s inst/frame={n_inst:.1f} "
+            f"stage_times={ {k: round(v, 3) for k, v in tc.items()} }"
+        ),
     )
-    print(
-        json.dumps(
-            {
-                "metric": "ICDAR15-video e2e spotting+tracking throughput",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / 60.0, 4),
-            }
-        )
-    )
+
+    # second pass only if the budget allows (per-call tunnel latency varies a
+    # lot run to run; both passes reuse the compiled programs)
+    if _remaining() > 90.0:
+        t0 = time.time()
+        tc2 = {}
+        predictor.process_video(frames, tc2)
+        e2 = time.time() - t0
+        if n_frames / e2 > fps:
+            fps = n_frames / e2
+            _emit(
+                fps,
+                extra=(
+                    f"# pass2 (better): stage_times="
+                    f"{ {k: round(v, 3) for k, v in tc2.items()} }"
+                ),
+            )
 
 
 if __name__ == "__main__":
     # The tunneled TPU worker occasionally crashes/restarts mid-run (UNAVAILABLE).
     # Client state is unrecoverable in-process, so re-exec a fresh process after a
-    # cooldown; the attempt counter rides an env var across execs.
+    # cooldown; the attempt counter rides an env var across execs and the global
+    # BENCH_T0 wall clock keeps the retries inside the driver's budget.
     attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
     try:
         main()
     except Exception as e:  # noqa: BLE001
         msg = f"{type(e).__name__}: {e}"
         recoverable = "UNAVAILABLE" in msg or "crashed or restarted" in msg
-        if recoverable and attempt < 5:
-            print(f"# attempt {attempt} failed ({msg[:200]}); re-exec after cooldown",
-                  file=sys.stderr)
-            time.sleep(60 * (attempt + 1))
+        if recoverable and attempt < 5 and _remaining() > 240.0:
+            cooldown = min(45.0 * (attempt + 1), max(30.0, _remaining() - 200.0))
+            print(f"# attempt {attempt} failed ({msg[:200]}); re-exec after "
+                  f"{cooldown:.0f}s cooldown", file=sys.stderr, flush=True)
+            time.sleep(cooldown)
             os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise

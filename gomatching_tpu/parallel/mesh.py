@@ -8,7 +8,9 @@ reference issues manually (comm.reduce_dict, all_reduce(num_inst)). A 'model'
 axis is provisioned for optional tensor sharding of the encoder at large input
 sizes (DSText nq=300) — unused by the parity configs.
 
-Multi-host: call ``jax.distributed.initialize()`` before ``build_mesh`` and the
+Multi-host: ``train_net.py --num-machines N --machine-rank R --dist-url ...``
+calls ``jax.distributed.initialize()`` (train_net.maybe_init_distributed) before
+``build_mesh``; ``jax.devices()`` then enumerates every host's chips and the
 same code runs across slices (ICI within a slice, DCN across).
 """
 

@@ -48,3 +48,43 @@ def test_shard_batch_and_params_round_trip():
     # a jitted reduction over the sharded batch must see the global array
     total = jax.jit(lambda b: jnp.sum(b["x"]))(sharded)
     assert float(total) == float(batch["x"].sum())
+
+
+def test_maybe_init_distributed(monkeypatch):
+    """train_net --num-machines wiring (reference train_net.py:198-208): the
+    single-host default is a no-op; >1 machines calls jax.distributed.initialize
+    with the tcp:// prefix stripped; 'auto' defers to env-driven init."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import train_net
+
+    calls = []
+
+    def fake_init(**kw):
+        calls.append(kw)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+
+    args = train_net.get_parser().parse_args(
+        ["--config-file", "configs/GoMatching_ICDAR15.yaml"]
+    )
+    train_net.maybe_init_distributed(args)
+    assert calls == []  # single host: no-op
+
+    args = train_net.get_parser().parse_args(
+        ["--config-file", "x", "--num-machines", "4", "--machine-rank", "2",
+         "--dist-url", "tcp://10.0.0.1:1234"]
+    )
+    train_net.maybe_init_distributed(args)
+    assert calls == [
+        {"coordinator_address": "10.0.0.1:1234", "num_processes": 4,
+         "process_id": 2}
+    ]
+
+    calls.clear()
+    args = train_net.get_parser().parse_args(
+        ["--config-file", "x", "--num-machines", "2"]
+    )
+    train_net.maybe_init_distributed(args)
+    assert calls == [{}]  # auto -> env-driven initialize()

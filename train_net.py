@@ -23,6 +23,16 @@ def get_parser():
     p.add_argument("--num-gpus", "--num-chips", type=int, default=1, dest="num_chips",
                    help="data-parallel width; default 1 (single chip, matching the "
                    "reference CLI's --num-gpus=1); 0 = all visible devices")
+    p.add_argument("--num-machines", type=int, default=1,
+                   help="number of hosts in a multi-host run (reference "
+                   "train_net.py:198-208 DDP launch); >1 triggers "
+                   "jax.distributed.initialize()")
+    p.add_argument("--machine-rank", type=int, default=0,
+                   help="this host's process index (reference machine_rank)")
+    p.add_argument("--dist-url", default="auto",
+                   help="coordinator address, reference dist_url style "
+                   "(tcp://host:port or host:port); 'auto' = env-driven "
+                   "(TPU pods publish coordination env vars)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--max-iter", type=int, default=-1, help="override for smoke runs")
     p.add_argument(
@@ -181,12 +191,45 @@ def pretrain_main(args):
             save_params(os.path.join(ckpt_dir, f"spotter_{i + 1:07d}.npz"), trainer.state.params)
 
 
+def maybe_init_distributed(args):
+    """Multi-host SPMD bring-up, the reference's multi-machine DDP launch
+    (train_net.py:198-208: --num-machines / machine_rank / tcp dist_url).
+
+    TPU-first shape: one ``jax.distributed.initialize()`` per host, after which
+    ``jax.devices()`` is GLOBAL and the existing ('data','model') mesh +
+    GSPMD collectives span hosts unchanged (ICI within a slice, DCN across) —
+    no per-rank gradient plumbing like torch DDP. Must run before any other
+    JAX call. 'auto' on a TPU pod uses the env-published coordinator."""
+    if args.num_machines <= 1:
+        return
+    import jax
+
+    if args.dist_url == "auto":
+        # TPU pods (and SLURM/OpenMPI launchers) publish coordinator/process
+        # env vars that jax.distributed reads natively
+        jax.distributed.initialize()
+    else:
+        addr = args.dist_url
+        if addr.startswith("tcp://"):
+            addr = addr[len("tcp://"):]
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=args.num_machines,
+            process_id=args.machine_rank,
+        )
+    print(
+        f"multi-host: process {jax.process_index()}/{jax.process_count()} up, "
+        f"{len(jax.devices())} global devices"
+    )
+
+
 def main():
     args = get_parser().parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    maybe_init_distributed(args)
     if args.task == "spotter":
         return pretrain_main(args)
     from gomatching_tpu.config import setup_train_cfg
