@@ -41,6 +41,49 @@ def boundary_to_closed_polygon(bd: np.ndarray) -> np.ndarray:
     return np.concatenate([top, bottom], axis=0)
 
 
+# Unicode label font discovery: the reference draws Chinese transcriptions with
+# a user-supplied ./simsun.ttc via matplotlib FontProperties
+# (text_track_visualizer.py:236-251 draw_chinese); we look for the same file
+# plus the usual system CJK fonts, overridable via $GOMATCHING_LABEL_FONT.
+_FONT_CANDIDATES = (
+    "./simsun.ttc",
+    "/usr/share/fonts/opentype/noto/NotoSansCJK-Regular.ttc",
+    "/usr/share/fonts/truetype/noto/NotoSansCJK-Regular.ttc",
+    "/usr/share/fonts/truetype/wqy/wqy-zenhei.ttc",
+    "/usr/share/fonts/truetype/droid/DroidSansFallbackFull.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",  # wide non-CJK Unicode
+)
+_FONT_CACHE: dict = {}
+
+
+def find_label_font() -> Optional[str]:
+    """First existing Unicode-capable label font, or None (Hershey fallback)."""
+    import os
+
+    cands = (os.environ.get("GOMATCHING_LABEL_FONT", ""),) + _FONT_CANDIDATES
+    for path in cands:
+        if path and os.path.exists(path):
+            return path
+    return None
+
+
+def _pil_font(size: int):
+    path = find_label_font()
+    if path is None:
+        return None
+    key = (path, size)
+    font = _FONT_CACHE.get(key)
+    if font is None:
+        try:
+            from PIL import ImageFont
+
+            font = ImageFont.truetype(path, size)
+        except Exception:  # noqa: BLE001
+            return None
+        _FONT_CACHE[key] = font
+    return font
+
+
 def draw_tracked_frame(
     frame_bgr: np.ndarray,
     boundaries: Sequence[np.ndarray],  # each (npts, 4)
@@ -48,10 +91,16 @@ def draw_tracked_frame(
     texts: Optional[Sequence[str]] = None,
     thickness: int = 2,
 ) -> np.ndarray:
-    """Returns a copy of the frame with polygons + labels drawn (BGR)."""
+    """Returns a copy of the frame with polygons + labels drawn (BGR).
+
+    Labels containing non-ASCII characters (BOVText's Chinese transcriptions)
+    render through a PIL text pass with a real Unicode font when one is found
+    (cv2's Hershey fonts have no CJK glyphs and draw '?' boxes); pure-ASCII
+    labels keep the cv2 fast path."""
     import cv2
 
     out = frame_bgr.copy()
+    labels = []  # (label, anchor xy, RGB color)
     for i, (bd, tid) in enumerate(zip(boundaries, track_ids)):
         poly = boundary_to_closed_polygon(bd).astype(np.int32)
         r, g, b = track_color(tid)
@@ -61,7 +110,25 @@ def draw_tracked_frame(
         if texts is not None and i < len(texts):
             label += texts[i]
         x, y = int(poly[0, 0]), max(int(poly[0, 1]) - 4, 10)
-        cv2.putText(out, label, (x, y), cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1, cv2.LINE_AA)
+        labels.append((label, (x, y), (r, g, b)))
+
+    unicode_font = None
+    if any(any(ord(c) > 127 for c in lab) for lab, _, _ in labels):
+        unicode_font = _pil_font(14)
+    if unicode_font is not None:
+        from PIL import Image, ImageDraw
+
+        pil = Image.fromarray(out[:, :, ::-1])  # PIL draws in RGB
+        draw = ImageDraw.Draw(pil)
+        for label, (x, y), rgb in labels:
+            # PIL anchors at the glyph top; cv2 at the baseline — keep the
+            # label above the polygon like the cv2 path does
+            draw.text((x, max(y - 12, 0)), label, fill=rgb, font=unicode_font)
+        out = np.asarray(pil)[:, :, ::-1].copy()
+    else:
+        for label, (x, y), rgb in labels:
+            cv2.putText(out, label, (x, y), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                        rgb[::-1], 1, cv2.LINE_AA)
     return out
 
 

@@ -298,3 +298,129 @@ def test_detection_matches_official_protocol(official, tmp_path):
     np.testing.assert_allclose(ours["recall"], ref["method"]["recall"], atol=1e-9)
     np.testing.assert_allclose(ours["precision"], ref["method"]["precision"], atol=1e-9)
     np.testing.assert_allclose(ours["hmean"], ref["method"]["hmean"], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Close the pipeline->protocol loop (BASELINE.md contract: "protocols run
+# unchanged on emitted XML/JSON"): the predictor's OWN emitted XML/txt files
+# (evaluation/writer.py) are zipped verbatim as the submission and scored by
+# the official scripts; our scorer on the same files must agree exactly.
+@pytest.fixture(scope="module")
+def emitted(tmp_path_factory):
+    from gomatching_tpu.config import setup_eval_cfg
+    from gomatching_tpu.engine.predictor import VideoPredictor
+    from gomatching_tpu.evaluation.writer import (
+        boundary_to_polygon,
+        frame_lines,
+        write_track_transcriptions,
+        write_video_results,
+    )
+
+    cfg = setup_eval_cfg(
+        "configs/GoMatching_ICDAR15.yaml",
+        [
+            "MODEL.TRANSFORMER.ENC_LAYERS", "1",
+            "MODEL.TRANSFORMER.DEC_LAYERS", "1",
+            "MODEL.TRANSFORMER.NUM_QUERIES", "8",
+            "MODEL.TRANSFORMER.NUM_POINTS", "5",
+            "MODEL.TRANSFORMER.HIDDEN_DIM", "64",
+            "MODEL.TRANSFORMER.NHEADS", "4",
+            "MODEL.TRANSFORMER.DIM_FEEDFORWARD", "64",
+            "MODEL.TRANSFORMER.INFERENCE_TH_TEST", "0.0001",
+            "MODEL.ASSO_HEAD.FC_DIM", "64",
+            "INPUT.MIN_SIZE_TEST", "64",
+            "INPUT.MAX_SIZE_TEST", "128",
+            "MODEL.WEIGHTS", "''",
+            "TPU.SPOT_BATCH", "2",
+        ],
+    )
+    predictor = VideoPredictor(cfg)
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 255, (96, 128, 3), np.uint8) for _ in range(6)]
+    tracked = predictor.process_video(frames)
+
+    out = tmp_path_factory.mktemp("emitted")
+    annotation = {}
+    for i, det in enumerate(tracked):
+        polys = [boundary_to_polygon(bd) for bd in det.bd]
+        texts = [predictor.decode_text(r) for r in det.recs]
+        annotation[str(i + 1)] = frame_lines(polys, det.track_ids, texts)
+    write_video_results(
+        annotation,
+        str(out / "Video_1_1_1.json"),
+        str(out / "res_Video_1_1_1.xml"),
+    )
+    write_track_transcriptions(str(out))
+    return out
+
+
+def _gt_from_emitted(xml_path, seed=7):
+    """Perturbed GT derived from the emitted submission so every metric bucket
+    (TP/FP/FN/IDSW/ignore) is populated: jittered copies of most objects, some
+    dropped, some relabeled, plus a '###' ignore region per frame."""
+    from eval_tracking import parse_xml
+
+    res = parse_xml(str(xml_path), int_coords=True)
+    rng = np.random.RandomState(seed)
+    gt = {}
+    gt_txt = {}
+    for f in sorted(res):
+        ids, polys, txts = res[f]
+        objs = []
+        for oid, poly, txt in zip(ids, polys, txts):
+            r = rng.rand()
+            if r < 0.25:
+                continue  # -> FP on the det side
+            gid = int(oid) if r < 0.8 else int(oid) + 1000  # relabel -> IDSW/FN
+            q = np.asarray(poly, np.float64).reshape(-1, 2)
+            q = q + rng.randint(-2, 3, size=q.shape)
+            clean = "".join(c for c in txt if c.isalnum()).upper() or "WORD"
+            objs.append((gid, np.maximum(q, 0).reshape(-1).tolist(), clean))
+            if gid not in gt_txt:
+                gt_txt[gid] = clean if rng.rand() < 0.7 else clean + "Q"
+        objs.append((9999, _quad(100, 80), "###"))
+        gt[f] = objs
+    return gt, gt_txt
+
+
+@pytest.mark.parametrize("mode", ["trk", "e2e"])
+def test_official_protocol_on_emitted_xml(official, emitted, tmp_path, mode):
+    from eval_tracking import evaluate_video_icdar, parse_track_texts, parse_xml
+
+    xml_path = emitted / "res_Video_1_1_1.xml"
+    txt_path = emitted / "res_Video_1_1_1.txt"
+    res = parse_xml(str(xml_path), int_coords=True)
+    assert sum(len(v[0]) for v in res.values()) > 0, "pipeline emitted no objects"
+
+    gt, gt_txt = _gt_from_emitted(xml_path)
+    gt_zip = tmp_path / f"gt_{mode}.zip"
+    sub_zip = tmp_path / f"sub_{mode}.zip"
+    with zipfile.ZipFile(gt_zip, "w") as zg, zipfile.ZipFile(sub_zip, "w") as zs:
+        zg.writestr("Video_1_1_1_GT.xml", _xml(gt))
+        # the submission is the pipeline's emitted bytes, VERBATIM
+        zs.writestr("res_Video_1_1_1.xml", xml_path.read_bytes())
+        if mode == "e2e":
+            zg.writestr("Video_1_1_1_GT.txt", _track_txt(gt_txt))
+            zs.writestr("res_Video_1_1_1.txt", txt_path.read_bytes())
+
+    mod = official[mode]
+    ref = mod.evaluate_method(str(gt_zip), str(sub_zip), mod.default_evaluation_params())
+    sample = ref["per_sample"][list(ref["per_sample"])[0]]
+
+    gt_frames = {
+        f: ([o[0] for o in objs],
+            [np.asarray(o[1], np.float64) for o in objs],
+            [o[2] for o in objs])
+        for f, objs in gt.items()
+    }
+    ours = evaluate_video_icdar(
+        gt_frames, res, 0.5, mode == "e2e",
+        gt_track_texts=gt_txt if mode == "e2e" else None,
+        det_track_texts=parse_track_texts(str(txt_path)) if mode == "e2e" else None,
+    )
+    assert ours["IDSW"] == int(sample["SW"])
+    assert ours["FP"] == int(sample["FP"])
+    assert ours["FN"] == int(sample["MS"])
+    np.testing.assert_allclose(ours["MOTA"], sample["MOTA"], atol=1e-9)
+    np.testing.assert_allclose(ours["MOTP"], sample["MOTP"], atol=1e-9)
+    np.testing.assert_allclose(ours["IDF1"], sample["IDF1"], atol=1e-9)

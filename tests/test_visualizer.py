@@ -29,3 +29,38 @@ def test_draw_tracked_frame():
     assert out.shape == frame.shape
     assert out.sum() > 0  # something was drawn
     assert frame.sum() == 0  # input untouched
+
+
+def test_draw_tracked_frame_unicode_labels():
+    """Non-ASCII transcriptions (BOVText Chinese) take the PIL font pass when a
+    Unicode font exists (reference: draw_chinese + ./simsun.ttc,
+    text_track_visualizer.py:236-251); rendering must still draw something and
+    leave the input untouched."""
+    from gomatching_tpu.evaluation.visualizer import (
+        draw_tracked_frame,
+        find_label_font,
+    )
+
+    frame = np.zeros((64, 64, 3), np.uint8)
+    bd = np.asarray([[5, 25, 5, 40], [50, 25, 50, 40]], np.float64)
+    out = draw_tracked_frame(frame, [bd], [2], texts=["中文"])
+    assert out.shape == frame.shape
+    assert out.sum() > 0
+    assert frame.sum() == 0
+    # this image has at least DejaVu; discovery must find a real file
+    font = find_label_font()
+    if font is not None:
+        import os
+
+        assert os.path.exists(font)
+
+
+def test_label_font_env_override(monkeypatch, tmp_path):
+    from gomatching_tpu.evaluation import visualizer
+
+    fake = tmp_path / "f.ttf"
+    fake.write_bytes(b"not a real font")
+    monkeypatch.setenv("GOMATCHING_LABEL_FONT", str(fake))
+    assert visualizer.find_label_font() == str(fake)
+    # unparseable font -> PIL loader returns None (Hershey fallback, no crash)
+    assert visualizer._pil_font(14) is None
