@@ -405,6 +405,13 @@ def get_cfg() -> CfgNode:
     # (gather-based, exact, works everywhere), or 'pallas' (VMEM-gather
     # kernel; ops/deform_attn_pallas.py)
     r.SAMPLING_IMPL = "vmem"
+    # sampler for paths that differentiate THROUGH the spotter (image/video
+    # pretraining). The fused kernels now carry custom VJPs (fused backward
+    # kernels, ops/deform_attn_{vmem,dec_vmem}.py; grad parity in
+    # tests/test_deform_attn_grads.py), so 'vmem' is allowed here; 'tiled'
+    # (pure XLA, same contract) stays the default until the vmem backward is
+    # measured faster on real hardware (tools/bench_train.py).
+    r.TRAIN_SAMPLING_IMPL = "tiled"
     # max |sampling offset| (target-level cells) resolved exactly by the
     # tiled/vmem encoder samplers; size it with tools/certify_halo.py
     # (ops.deform_attn_tiled.deform_attn_dropped_mass). The init scheme caps

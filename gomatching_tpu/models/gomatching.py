@@ -354,11 +354,12 @@ class SpotterPretrainModel(nn.Module):
 
 def build_pretrain_model(cfg) -> SpotterPretrainModel:
     t = cfg.MODEL.TRANSFORMER
-    # pretraining differentiates THROUGH the spotter; the fused Pallas
-    # samplers ('vmem'/'pallas') define no VJP — 'tiled' is the pure-XLA
-    # sampler with the same exactness contract
-    impl = cfg.TPU.SAMPLING_IMPL
-    if impl in ("vmem", "pallas"):
+    # pretraining differentiates THROUGH the spotter: use the training
+    # sampler. 'tiled' (pure XLA) and 'vmem' (fused kernels + custom-VJP
+    # fused backwards) share the exactness contract and differentiate;
+    # 'pallas' has no VJP and falls back to tiled.
+    impl = cfg.TPU.TRAIN_SAMPLING_IMPL
+    if impl == "pallas":
         impl = "tiled"
     return SpotterPretrainModel(
         backbone_name=cfg.MODEL.BACKBONE.NAME,

@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .deform_attn_tiled import _pad_level_grids
-from .deform_attn_vmem import _accum_onehot_g
+from .deform_attn_vmem import _accum_onehot_g, _onehot_rows
 
 
 def _kernel(x_ref, y_ref, a_ref, *refs, geom, P, Qb, D, out_dtype):
@@ -78,20 +78,6 @@ def _kernel(x_ref, y_ref, a_ref, *refs, geom, P, Qb, D, out_dtype):
             preferred_element_type=jnp.float32,
         )
     out_ref[...] = acc.astype(out_dtype)
-
-
-def _onehot_rows(v, F, P, Q):
-    """Bilinear one-hot rows along one axis: (P, Q) coords -> weights
-    (P, F, Q) and their exact coordinate derivatives (P, F, Q)."""
-    v0 = jnp.floor(v)
-    dv = (v - v0).reshape(P, 1, Q)
-    vi = v0.astype(jnp.int32).reshape(P, 1, Q)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (P, F, Q), 1)
-    lo = (ii == vi).astype(jnp.float32)
-    hi = (ii == vi + 1).astype(jnp.float32)
-    w = lo * (1.0 - dv) + hi * dv
-    dw = hi - lo  # d w / d coord
-    return w, dw
 
 
 def _bwd_kernel(x_ref, y_ref, a_ref, do_ref, *refs, geom, P, Qb, D):

@@ -219,6 +219,21 @@ def _accum_onehot_g(g_ref, x, y, a, Fh, Fw, P, Q, ablate=frozenset()):
             g_ref[...] += term
 
 
+def _onehot_rows(v, F, P, Q):
+    """Bilinear one-hot rows along one axis: (P, Q) coords -> weights
+    (P, F, Q) and their exact coordinate derivatives (P, F, Q). Shared by the
+    fused backward kernels (the one-hot pieces ``_accum_onehot_g`` folds)."""
+    v0 = jnp.floor(v)
+    dv = (v - v0).reshape(P, 1, Q)
+    vi = v0.astype(jnp.int32).reshape(P, 1, Q)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (P, F, Q), 1)
+    lo = (ii == vi).astype(jnp.float32)
+    hi = (ii == vi + 1).astype(jnp.float32)
+    w = lo * (1.0 - dv) + hi * dv
+    dw = hi - lo  # d w / d coord
+    return w, dw
+
+
 def _kernel_v2(
     org_ref, off_ref, attn_ref, *refs, geom, scales, tile_info, M, L, P, Q,
     D, out_dtype, ablate=frozenset(),
@@ -298,7 +313,7 @@ def _kernel_v2(
     out_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-def ms_deform_attn_encoder_vmem_v2(
+def _v2_impl(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
     offT: jnp.ndarray,
@@ -309,7 +324,7 @@ def ms_deform_attn_encoder_vmem_v2(
     interpret: bool = False,
     ablate: frozenset = frozenset(),  # timing-only: {"gbuild", "dot"}
 ) -> jnp.ndarray:
-    """Projection-layout fused encoder kernel (kernel v2).
+    """Projection-layout fused encoder kernel (kernel v2) — forward body.
 
     Args:
       value: (B, S, M, D) level-concatenated per-head values, natural order.
@@ -421,6 +436,279 @@ def ms_deform_attn_encoder_vmem_v2(
         )
 
     return jnp.concatenate(out_levels, axis=1)
+
+
+def _v2_level_geometry(spatial_shapes, grids, level_info, l, halo, block):
+    """Per-source-level footprint geometry shared by the fwd/bwd kernels:
+    (geom [(l2, Fh, Fw)], scales, org (2L, T) int array, oy/ox per level)."""
+    L = len(spatial_shapes)
+    H1, W1 = spatial_shapes[l]
+    s_tm, T, Q, ty, tx, nty, ntx = level_info[l]
+    geom: List[Tuple[int, int, int]] = []
+    scales: List[Tuple[float, float]] = []
+    oy_np = np.zeros((L, T), np.int32)
+    ox_np = np.zeros((L, T), np.int32)
+    for l2, (H2, W2) in enumerate(spatial_shapes):
+        Hp2, Wp2 = grids[l2].shape[1], grids[l2].shape[2]
+        oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, 1)
+        oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)
+        geom.append((l2, Fh, Fw))
+        scales.append((H2 / H1, W2 / W1))
+        oy_np[l2] = np.repeat(np.asarray(oys, np.int32), ntx)
+        ox_np[l2] = np.tile(np.asarray(oxs, np.int32), nty)
+    org = np.stack([oy_np, ox_np], axis=0).reshape(2 * L, T)
+    return geom, scales, org, oy_np, ox_np
+
+
+def _bwd_kernel_v2(
+    org_ref, off_ref, attn_ref, do_ref, *refs, geom, scales, tile_info,
+    M, L, P, Q, D,
+):
+    """One (tile, batch) backward step of the projection-layout kernel.
+
+    refs = [fp_0..fp_{n-1}, doff, dattn, dslab_0..dslab_{n-1}, g_0.., dg_0..].
+    Blocks (squeezed): off (2LMP, Q) / attn (LMP, Q) f32 as the forward;
+    do (Q, M*D); fp_j (1, Fh, Fw, M*D) Element window; doff (2LMP, Q) f32;
+    dattn (LMP, Q) f32; dslab_j (Fh, Fw, M*D) f32 — this tile's dV slab,
+    overlap-added into the level grids by the caller; g_j / dg_j
+    (Fh, Fw, Q) f32 scratch.
+    """
+    ty, tx, ntx = tile_info
+    t = pl.program_id(0)
+    ty0 = (t // ntx) * ty
+    tx0 = (t % ntx) * tx
+    nlev = len(geom)
+    fp_refs = refs[:nlev]
+    doff_ref = refs[nlev]
+    dattn_ref = refs[nlev + 1]
+    dslab_refs = refs[nlev + 2 : nlev + 2 + nlev]
+    g_refs = refs[nlev + 2 + nlev : nlev + 2 + 2 * nlev]
+    dg_refs = refs[nlev + 2 + 2 * nlev :]
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
+    row = (qi // tx).astype(jnp.float32)
+    col = (qi % tx).astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)  # (Q, M*D)
+
+    for m in range(M):
+        do_m = do[:, m * D : (m + 1) * D]
+        for j, (l2, Fh, Fw) in enumerate(geom):
+            sy, sx = scales[j]
+            oy = org_ref[l2, t]
+            ox = org_ref[L + l2, t]
+            xb = ((l2 * 2 + 0) * M + m) * P
+            yb = ((l2 * 2 + 1) * M + m) * P
+            ab = (l2 * M + m) * P
+            gx = (tx0 + 0.5) * sx - 0.5 + col * sx  # (1, Q)
+            gy = (ty0 + 0.5) * sy - 0.5 + row * sy
+            x = gx - ox.astype(jnp.float32) + off_ref[xb : xb + P]  # (P, Q)
+            y = gy - oy.astype(jnp.float32) + off_ref[yb : yb + P]
+            a = attn_ref[ab : ab + P]
+            g = g_refs[j]
+            _accum_onehot_g(g, x, y, a, Fh, Fw, P, Q)
+            # this head's dV slab slice: (K, Q) x (Q, D) MXU dot
+            contrib = jax.lax.dot_general(
+                g[...].reshape(Fh * Fw, Q),
+                do_m,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dslab_refs[j][:, :, m * D : (m + 1) * D] = contrib.reshape(Fh, Fw, D)
+            # dG = V @ dO_m^T, staged through a scratch ref
+            V = fp_refs[j][0].reshape(Fh * Fw, M * D)[:, m * D : (m + 1) * D]
+            dg_refs[j][...] = jax.lax.dot_general(
+                V.astype(jnp.float32),
+                do_m,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(Fh, Fw, Q)
+
+            xw, dxw = _onehot_rows(x, Fw, P, Q)
+            yw, dyw = _onehot_rows(y, Fh, P, Q)
+            dgv = dg_refs[j][...]
+            for p in range(P):
+                r = jnp.sum(yw[p].reshape(Fh, 1, Q) * dgv, axis=0)  # (Fw, Q)
+                s = jnp.sum(xw[p].reshape(1, Fw, Q) * dgv, axis=1)  # (Fh, Q)
+                dattn_ref[ab + p] = jnp.sum(xw[p] * r, axis=0)
+                # offsets are in target-level cells: x = gx - ox + off, so
+                # d off == d x directly
+                doff_ref[xb + p] = a[p] * jnp.sum(dxw[p] * r, axis=0)
+                doff_ref[yb + p] = a[p] * jnp.sum(dyw[p] * s, axis=0)
+
+
+def _v2_bwd_impl(spatial_shapes, halo, block, tile_sizes, interpret,
+                 value, offT, attnT, dout):
+    """Backward of ``_v2_impl``: per-tile fused kernel -> (dOffT, dAttnT,
+    per-tile dV slabs), then a static-index overlap-add of the slabs into the
+    padded level grids (tiles' footprints overlap by the halo, so the scatter
+    runs in XLA where accumulation order is free)."""
+    B, S, M, D = value.shape
+    F2 = offT.shape[1]
+    L = len(spatial_shapes)
+    P = F2 // (2 * L * M)
+    S_tm = offT.shape[2]
+    tiles = _norm_tiles(tile_sizes, L)
+
+    grids = pad_level_grids_natural(value, spatial_shapes, block)
+    _, level_info = tile_major_perm(spatial_shapes, tiles)
+
+    dgrid = [
+        jnp.zeros((B, g.shape[1] * g.shape[2], M * D), jnp.float32) for g in grids
+    ]
+    doff_parts: List[jnp.ndarray] = []
+    dattn_parts: List[jnp.ndarray] = []
+    for l in range(L):
+        s_tm, T, Q, ty, tx, nty, ntx = level_info[l]
+        geom, scales, org, oy_np, ox_np = _v2_level_geometry(
+            spatial_shapes, grids, level_info, l, halo, block
+        )
+        off_l = jax.lax.slice_in_dim(offT, s_tm, s_tm + T * Q, axis=2)
+        attn_l = jax.lax.slice_in_dim(attnT, s_tm, s_tm + T * Q, axis=2)
+        do_l = jax.lax.slice_in_dim(dout, s_tm, s_tm + T * Q, axis=1)
+
+        def fp_spec(l2, Fh, Fw):
+            def idx(t_, b_, org_ref):
+                return (
+                    b_,
+                    org_ref[l2, t_],
+                    pl.multiple_of(org_ref[L + l2, t_], block),
+                    0,
+                )
+
+            return pl.BlockSpec(
+                (pl.Element(1), pl.Element(Fh), pl.Element(Fw), pl.Element(M * D)),
+                idx,
+            )
+
+        off_spec = pl.BlockSpec((None, F2, Q), lambda t_, b_, org_ref: (b_, 0, t_))
+        attn_spec = pl.BlockSpec(
+            (None, L * M * P, Q), lambda t_, b_, org_ref: (b_, 0, t_)
+        )
+        do_spec = pl.BlockSpec((None, Q, M * D), lambda t_, b_, org_ref: (b_, t_, 0))
+        slab_specs = [
+            pl.BlockSpec(
+                (None, None, fh, fw, M * D),
+                lambda t_, b_, org_ref: (b_, t_, 0, 0, 0),
+            )
+            for _, fh, fw in geom
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T, B),
+            in_specs=[off_spec, attn_spec, do_spec]
+            + [fp_spec(l2, fh, fw) for l2, fh, fw in geom],
+            out_specs=[off_spec, attn_spec] + slab_specs,
+            scratch_shapes=[pltpu.VMEM((fh, fw, Q), jnp.float32) for _, fh, fw in geom]
+            + [pltpu.VMEM((fh, fw, Q), jnp.float32) for _, fh, fw in geom],
+        )
+        kern = functools.partial(
+            _bwd_kernel_v2, geom=geom, scales=scales, tile_info=(ty, tx, ntx),
+            M=M, L=L, P=P, Q=Q, D=D,
+        )
+        outs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, F2, T * Q), jnp.float32),
+                jax.ShapeDtypeStruct((B, L * M * P, T * Q), jnp.float32),
+            ]
+            + [
+                jax.ShapeDtypeStruct((B, T, fh, fw, M * D), jnp.float32)
+                for _, fh, fw in geom
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray(org),
+            off_l.astype(jnp.float32),
+            attn_l.astype(jnp.float32),
+            do_l,
+            *[grids[l2].astype(jnp.float32) for l2, _, _ in geom],
+        )
+        doff_parts.append(outs[0])
+        dattn_parts.append(outs[1])
+        # overlap-add each target level's slabs at their static origins
+        for j, (l2, Fh, Fw) in enumerate(geom):
+            Wp2 = grids[l2].shape[2]
+            oy = oy_np[l2].astype(np.int64)  # (T,)
+            ox = ox_np[l2].astype(np.int64)
+            fy = np.arange(Fh, dtype=np.int64)
+            fx = np.arange(Fw, dtype=np.int64)
+            flat = (
+                (oy[:, None, None] + fy[None, :, None]) * Wp2
+                + (ox[:, None, None] + fx[None, None, :])
+            ).reshape(-1)
+            dgrid[l2] = dgrid[l2].at[:, jnp.asarray(flat)].add(
+                outs[2 + j].reshape(B, -1, M * D)
+            )
+
+    dOffT = jnp.concatenate(doff_parts, axis=2).astype(offT.dtype)
+    dAttnT = jnp.concatenate(dattn_parts, axis=2).astype(attnT.dtype)
+
+    dval_levels = []
+    for (h, w), g, d in zip(spatial_shapes, grids, dgrid):
+        hp, wp = g.shape[1], g.shape[2]
+        dl = d.reshape(B, hp, wp, M * D)[:, :h, :w]
+        dval_levels.append(dl.reshape(B, h * w, M, D))
+    dvalue = jnp.concatenate(dval_levels, axis=1).astype(value.dtype)
+    return dvalue, dOffT, dAttnT
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _v2_op(spatial_shapes, halo, block, tile_sizes, interpret,
+           value, offT, attnT):
+    return _v2_impl(value, spatial_shapes, offT, attnT, halo=halo, block=block,
+                    tile_sizes=tile_sizes, interpret=interpret)
+
+
+def _v2_op_fwd(spatial_shapes, halo, block, tile_sizes, interpret,
+               value, offT, attnT):
+    out = _v2_impl(value, spatial_shapes, offT, attnT, halo=halo, block=block,
+                   tile_sizes=tile_sizes, interpret=interpret)
+    return out, (value, offT, attnT)
+
+
+def _v2_op_bwd(spatial_shapes, halo, block, tile_sizes, interpret, res, dout):
+    value, offT, attnT = res
+    return _v2_bwd_impl(spatial_shapes, halo, block, tile_sizes, interpret,
+                        value, offT, attnT, dout.astype(jnp.float32))
+
+
+_v2_op.defvjp(_v2_op_fwd, _v2_op_bwd)
+
+
+def ms_deform_attn_encoder_vmem_v2(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    offT: jnp.ndarray,
+    attnT: jnp.ndarray,
+    halo: int = 8,
+    block: int = 8,
+    tile_sizes: Optional[Sequence[int]] = None,
+    interpret: bool = False,
+    ablate: frozenset = frozenset(),  # timing-only: {"gbuild", "dot"}
+) -> jnp.ndarray:
+    """Projection-layout fused encoder kernel (kernel v2), differentiable.
+
+    See ``_v2_impl`` for the forward design and argument contract; the op
+    carries a ``jax.custom_vjp`` whose backward is ``_bwd_kernel_v2`` (fused
+    per-tile dV/dOff/dAttn) plus a static-index overlap-add of the dV slabs —
+    the TPU analogue of the reference CUDA col2im backwards
+    (ms_deform_im2col_cuda.cuh:302,:407,:514). Gradient parity vs the
+    differentiable tiled/gather paths: tests/test_deform_attn_grads.py.
+    Timing ablations bypass the VJP wrapper (forward only).
+    """
+    if ablate:
+        return _v2_impl(value, spatial_shapes, offT, attnT, halo=halo,
+                        block=block, tile_sizes=tile_sizes,
+                        interpret=interpret, ablate=ablate)
+    shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    tiles = tuple(
+        (int(t[0]), int(t[1])) for t in _norm_tiles(tile_sizes, len(shapes))
+    )
+    return _v2_op(shapes, halo, block, tiles, interpret, value, offT, attnT)
 
 
 def _kernel_v3(

@@ -151,3 +151,49 @@ def test_video_pretraining_smoke(tmp_path, monkeypatch):
     train_net.main()
     ckpts = os.listdir(os.path.join(out_dir, "checkpoints"))
     assert any(f.startswith("spotter_") for f in ckpts), ckpts
+
+
+def test_image_pretrain_step_vmem_sampler():
+    """TPU.TRAIN_SAMPLING_IMPL=vmem: a full image-pretraining step (loss+grad
+    +update) differentiates THROUGH the fused VMEM kernels via their custom
+    VJPs (encoder projection-layout fast path active — no padding masks on the
+    image path — and decoder full-level kernel). Finite loss and a changed
+    parameter prove the backward executed."""
+    from gomatching_tpu.config import setup_train_cfg
+    from gomatching_tpu.engine.pretrain import SpotterPretrainer, build_spotter_targets
+    from gomatching_tpu.models.gomatching import build_pretrain_model
+
+    cfg = setup_train_cfg(
+        "configs/Pretrain_gofast.yaml"
+        if os.path.exists("configs/Pretrain_gofast.yaml")
+        else "configs/GoMatching_ICDAR15.yaml",
+        list(TINY) + [
+            "TPU.TRAIN_SAMPLING_IMPL", "vmem",
+            "TPU.MAX_GT", "4",
+        ],
+    )
+    model = build_pretrain_model(cfg)
+    assert model.sampling_impl == "vmem"
+    trainer = SpotterPretrainer(cfg, model)
+
+    rng = np.random.RandomState(0)
+    img = rng.randn(1, 64, 64, 3).astype(np.float32)
+    rec = {
+        "height": 64, "width": 64,
+        "annotations": [
+            {"poly": [8, 8, 40, 8, 40, 24, 8, 24], "bbox": [8, 8, 32, 16],
+             "texts": [3, 4, 5] + [cfg.MODEL.TRANSFORMER.VOC_SIZE] * 22},
+        ],
+    }
+    targets = build_spotter_targets(
+        rec, cfg.TPU.MAX_GT, cfg.MODEL.TRANSFORMER.NUM_POINTS,
+        cfg.MODEL.TRANSFORMER.VOC_SIZE,
+    )
+    targets = {k: v[None] for k, v in targets.items()}
+    before = np.asarray(
+        jax.tree.leaves(trainer.state.params)[0]
+    ).copy()
+    metrics = trainer.step(img, targets)
+    assert np.isfinite(metrics["total_loss"]), metrics
+    after = np.asarray(jax.tree.leaves(trainer.state.params)[0])
+    assert not np.array_equal(before, after), "no parameter moved"

@@ -128,14 +128,9 @@ def pretrain_main(args):
 
     cfg = setup_train_cfg(args.config_file, args.opts)
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
-    if cfg.TPU.SAMPLING_IMPL in ("vmem", "pallas"):
-        # pretraining differentiates THROUGH the spotter; the fused Pallas
-        # samplers are inference kernels (no VJP). 'tiled' is pure XLA with
-        # the same exactness contract and differentiates fine.
-        cfg.defrost()
-        cfg.TPU.SAMPLING_IMPL = "tiled"
-        cfg.freeze()
-        print("# pretraining overrides TPU.SAMPLING_IMPL -> 'tiled' (differentiable)")
+    # pretraining differentiates THROUGH the spotter: build_pretrain_model
+    # selects cfg.TPU.TRAIN_SAMPLING_IMPL ('tiled' XLA default, or 'vmem' —
+    # the fused kernels carry custom-VJP fused backwards since round 4)
     if cfg.MODEL.META_ARCHITECTURE == "TransformerPureVideoDetector":
         return pretrain_video_main(args, cfg)
     t = cfg.MODEL.TRANSFORMER
