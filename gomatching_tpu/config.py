@@ -428,6 +428,13 @@ def get_cfg() -> CfgNode:
     # bottleneck (e.g. a tunneled TPU at ~35 MB/s). Falls back to rgb for
     # odd frame dimensions.
     r.UPLOAD_FORMAT = "rgb"
+    # cross-window pipelining in process_video: 0 = strict spot-then-track;
+    # 1 = overlap the next window's encode + host->device wire with the
+    # current window's fetch + tracking (safe: compute ordering unchanged);
+    # 2 = also dispatch the next window's compute ahead of tracking (keeps
+    # the device busy through the tracker phase; the tracker's batched
+    # association calls then wait behind it — measure per deployment).
+    r.PIPELINE_WINDOWS = 1
     c.TPU = r
 
     return c

@@ -265,10 +265,13 @@ class VideoPredictor:
             self._raw_spot_fns[key] = fn
         return fn
 
-    def _dispatch_window(self, batch: np.ndarray, orig_hw, target_hw, th):
-        """Upload + dispatch one window of frames in SPOT_BATCH*SPOT_SUPER
-        super-chunks. Returns [(device_output (rows, nq, K), rows, keep)]
-        where ``keep`` counts real (un-padded) frames in the super-chunk."""
+    def _upload_window(self, batch: np.ndarray):
+        """Encode + device_put one window's SPOT_BATCH*SPOT_SUPER super-chunks
+        WITHOUT dispatching compute. Returns [(device wire, nm, keep)] where
+        ``keep`` counts real (un-padded) frames in the super-chunk. device_put
+        returns as soon as the transfer is enqueued, so a caller can overlap
+        the wire time with the previous window's compute + tracking
+        (TPU.PIPELINE_WINDOWS)."""
         n = len(batch)
         bs = self.spot_batch
         sup = self.spot_super if self.mesh is None else 1
@@ -277,7 +280,7 @@ class VideoPredictor:
         # batch's upload instead of `sup` batches' worth (the ~35 MB/s tunnel
         # makes the upload ramp the pipeline's exposed prefix)
         bounds = list(range(bs if sup > 1 and n > bs else step, n, step))
-        pending = []
+        uploaded = []
         for s, e in zip([0] + bounds, bounds + [n]):
             chunk = batch[s:e]
             keep = len(chunk)
@@ -290,10 +293,25 @@ class VideoPredictor:
             wire = self.encode_frames(chunk)
             if nm > 1:
                 wire = wire.reshape((nm, bs) + wire.shape[1:])
-            dev = jax.device_put(wire)
+            uploaded.append((jax.device_put(wire), nm, keep))
+        return uploaded
+
+    def _dispatch_uploaded(self, uploaded, orig_hw, target_hw, th):
+        """Dispatch the spot program over pre-uploaded super-chunks."""
+        bs = self.spot_batch
+        pending = []
+        for dev, nm, keep in uploaded:
             out = self._raw_spot_fn(orig_hw, target_hw, nm)(self.params, dev, th)
             pending.append((out, nm * bs, keep))
         return pending
+
+    def _dispatch_window(self, batch: np.ndarray, orig_hw, target_hw, th,
+                         uploaded=None):
+        """Upload + dispatch one window of frames. Returns
+        [(device_output (rows, nq, K), rows, keep)] per super-chunk."""
+        if uploaded is None:
+            uploaded = self._upload_window(batch)
+        return self._dispatch_uploaded(uploaded, orig_hw, target_hw, th)
 
     def encode_frames(self, chunk_u8: np.ndarray) -> np.ndarray:
         """uint8 BGR frames -> the wire format ``_raw_spot_fn`` expects
@@ -356,8 +374,13 @@ class VideoPredictor:
         return out
 
     # ------------------------------------------------------------------
-    def spot_frames(self, frames: List[np.ndarray], time_cost: Optional[Dict] = None):
-        """BGR frames (one resolution) -> list of FrameDetections (untracked)."""
+    def spot_frames(self, frames: List[np.ndarray], time_cost: Optional[Dict] = None,
+                    uploaded=None, pending=None):
+        """BGR frames (one resolution) -> list of FrameDetections (untracked).
+
+        ``uploaded``/``pending``: pipelined callers (process_video with
+        TPU.PIPELINE_WINDOWS) pass this window's pre-uploaded wire chunks or
+        already-dispatched outputs; the math is identical either way."""
         from ..data.preprocess import compute_test_size
 
         tc = time_cost if time_cost is not None else {}
@@ -367,7 +390,8 @@ class VideoPredictor:
             orig_hw[0], orig_hw[1],
             self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST,
         )
-        batch = np.stack([np.ascontiguousarray(f) for f in frames])  # (N, H, W, 3) u8
+        if uploaded is None and pending is None:
+            batch = np.stack([np.ascontiguousarray(f) for f in frames])  # (N, H, W, 3) u8
         tc["pre_process"] = tc.get("pre_process", 0) + time.time() - t0
 
         dets: List[FrameDetections] = []
@@ -379,7 +403,11 @@ class VideoPredictor:
         # by the lax.map spot variant) and the per-batch fetches (folded by the
         # on-device concat) taxed a window by ~0.5 s before this
         th = jnp.float32(self.score_thresh)
-        pending = self._dispatch_window(batch, orig_hw, (in_h, in_w), th)
+        if pending is None:
+            pending = self._dispatch_window(
+                batch if uploaded is None else None, orig_hw, (in_h, in_w), th,
+                uploaded=uploaded,
+            )
         cat = self._concat_fn(len(pending))(*[f for f, _, _ in pending])
         # two-phase fetch: the packed output is dominated by the 1024-dim reid
         # embeddings (~1 KB/slot at 100 slots/frame), but only ~20 slots/frame
@@ -447,9 +475,20 @@ class VideoPredictor:
         """
         tc = time_cost if time_cost is not None else {}
         self.tracker.reset()
+        # cross-window pipelining (TPU.PIPELINE_WINDOWS): 0 = strict
+        # spot-then-track sequencing; 1 = the NEXT window's encode +
+        # device_put are issued before the current window's fetch/track, so
+        # the wire time (the tunnel's ~35 MB/s is the e2e bottleneck) hides
+        # behind compute + tracking; 2 = additionally dispatch the next
+        # window's compute ahead, keeping the device busy through the
+        # tracking phase (the tracker's batched association calls then queue
+        # behind that compute — throughput-optimal when tracking is
+        # host-bound, but it delays their results; measure per deployment).
+        pipeline = int(getattr(self.cfg.TPU, "PIPELINE_WINDOWS", 1))
+        from ..data.preprocess import compute_test_size
 
-        def flush(buf):
-            dets = self.spot_frames(buf, tc)
+        def flush(buf, uploaded=None, pending=None):
+            dets = self.spot_frames(buf, tc, uploaded=uploaded, pending=pending)
             t0 = time.time()
             # one batched device call covers every adjacent pair's short-term
             # matcher pass (incl. the pair spanning the previous window); its
@@ -467,14 +506,39 @@ class VideoPredictor:
                 self.tracker.step(det, short_asso_cache=cache)
             tc["tracker"] = tc.get("tracker", 0) + time.time() - t0
 
-        buf: List[np.ndarray] = []
-        for frame in frames:
-            buf.append(frame)
-            if len(buf) >= window:
-                flush(buf)
-                buf = []
-        if buf:
-            flush(buf)
+        def gen_windows():
+            buf: List[np.ndarray] = []
+            for frame in frames:
+                buf.append(frame)
+                if len(buf) >= window:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        prev = None  # (frames, uploaded, pending) of the yet-untracked window
+        for buf in gen_windows():
+            up = pend = None
+            if pipeline >= 1:
+                # enqueue this window's wire bytes (and optionally compute)
+                # BEFORE fetching/tracking the previous window
+                batch = np.stack([np.ascontiguousarray(f) for f in buf])
+                up = self._upload_window(batch)
+                if pipeline >= 2:
+                    orig_hw = buf[0].shape[:2]
+                    thw = compute_test_size(
+                        orig_hw[0], orig_hw[1],
+                        self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST,
+                    )
+                    pend = self._dispatch_uploaded(
+                        up, orig_hw, thw, jnp.float32(self.score_thresh)
+                    )
+                    up = None
+            if prev is not None:
+                flush(*prev)
+            prev = (buf, up, pend)
+        if prev is not None:
+            flush(*prev)
 
         for k, v in self.tracker.time_cost.items():
             tc[k] = tc.get(k, 0) + v

@@ -105,9 +105,9 @@ def test_long_video_streams_in_bounded_windows(predictor):
     live = {"buffered": 0, "max_seen": 0}
     orig_spot = predictor.spot_frames
 
-    def counting_spot(frames, tc=None):
+    def counting_spot(frames, tc=None, **kw):
         live["max_seen"] = max(live["max_seen"], len(frames))
-        return orig_spot(frames, tc)
+        return orig_spot(frames, tc, **kw)
 
     predictor.spot_frames = counting_spot
 
@@ -191,3 +191,37 @@ def test_prefetch_iter():
 
     with _pytest.raises(ValueError, match="boom"):
         next(it)
+
+
+def test_pipeline_modes_identical(predictor):
+    """TPU.PIPELINE_WINDOWS only reorders host/device timing, never math:
+    modes 0 (strict), 1 (upload lookahead), 2 (dispatch ahead) must emit
+    identical track ids and geometry across window boundaries."""
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 255, (64, 96, 3), dtype=np.uint8) for _ in range(13)]
+
+    results = {}
+    cfg = predictor.cfg
+    orig = cfg.TPU.PIPELINE_WINDOWS
+    try:
+        for mode in (0, 1, 2):
+            cfg.defrost()
+            cfg.TPU.PIPELINE_WINDOWS = mode
+            cfg.freeze()
+            results[mode] = predictor.process_video(
+                [f.copy() for f in frames], window=5
+            )
+    finally:
+        cfg.defrost()
+        cfg.TPU.PIPELINE_WINDOWS = orig
+        cfg.freeze()
+
+    base = results[0]
+    for mode in (1, 2):
+        got = results[mode]
+        assert len(got) == len(base)
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(a.track_ids, b.track_ids,
+                                          err_msg=f"mode {mode}")
+            np.testing.assert_array_equal(a.ctrl_points, b.ctrl_points,
+                                          err_msg=f"mode {mode}")
