@@ -7,17 +7,17 @@ weights (no published checkpoints ship with the reference repo either); the
 detection threshold is calibrated on the fly to the score distribution so the
 tracker sees a realistic ~20 instances/frame.
 
-Prints ONE JSON line (re-printed with the better number if a second measured pass
-fits the budget):
+Prints exactly ONE JSON line:
   {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": fps/60}
 vs_baseline is against the 60 fps/chip north-star (BASELINE.md).
 
 Budget-proofing (the round-3 record was lost to rc=124): the whole run fits a
 hard wall-clock budget (BENCH_BUDGET, default 1500 s) that rides across the
-crash-retry re-execs via BENCH_T0 — the outage wait is capped, the JSON line is
-emitted and flushed immediately after the FIRST measured pass, and the
-calibrated threshold persists in .bench_state.json so a retry skips the
-calibration dispatch.
+crash-retry re-execs via BENCH_T0 — the outage wait is capped, pass 1's
+number is secured (emitted even if the optional second pass crashes, skipping
+the re-exec that would double-print), and the calibrated threshold persists
+in .bench_state.json (keyed by git HEAD) so a retry skips the calibration
+dispatch.
 """
 
 import json
@@ -164,8 +164,19 @@ def main():
     # calibrate a detection threshold giving ~20 instances/frame under random
     # weights, so NMS + reid + the sequential tracker do realistic work (the
     # threshold is a traced arg on the predictor -> no recompile). A crash
-    # retry reuses the persisted value and skips the calibration dispatch.
-    state_key = f"{spot_batch}|{precision}|{upload}|{impl}|{n_frames}"
+    # retry reuses the persisted value and skips the calibration dispatch;
+    # the git HEAD in the key invalidates it whenever the code (and so the
+    # random-weight score distribution) may have changed.
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        head = "unknown"
+    state_key = f"{head}|{spot_batch}|{precision}|{upload}|{impl}|{n_frames}"
     state = _load_state()
     t0 = time.time()
     if state.get("key") == state_key and "thresh" in state:
@@ -200,40 +211,44 @@ def main():
     # warmup (compiles the association buckets; spot program is already built)
     predictor.process_video(frames[: 2 * spot_batch])
 
-    # first measured pass -> emit the record line IMMEDIATELY (the tunneled
-    # worker can crash at any time; round 3's number was lost to a timeout)
+    # first measured pass: the record is SECURED from here on — if the second
+    # pass crashes, the except arm still emits this number (round 3's record
+    # was lost to a timeout). Exactly ONE JSON line reaches stdout.
     t0 = time.time()
     tc = {}
     tracked = predictor.process_video(frames, tc)
     elapsed = time.time() - t0
     fps = n_frames / elapsed
-
     n_inst = sum(len(f) for f in tracked) / max(len(tracked), 1)
-    _emit(
-        fps,
-        extra=(
-            f"# pass1: frames={n_frames} batch={spot_batch} precision={precision} "
-            f"upload={upload} compile={compile_s:.0f}s inst/frame={n_inst:.1f} "
-            f"stage_times={ {k: round(v, 3) for k, v in tc.items()} }"
-        ),
+    print(
+        f"# pass1: frames={n_frames} batch={spot_batch} precision={precision} "
+        f"upload={upload} compile={compile_s:.0f}s inst/frame={n_inst:.1f} "
+        f"fps={fps:.2f} stage_times={ {k: round(v, 3) for k, v in tc.items()} }",
+        file=sys.stderr, flush=True,
     )
 
     # second pass only if the budget allows (per-call tunnel latency varies a
     # lot run to run; both passes reuse the compiled programs)
-    if _remaining() > 90.0:
-        t0 = time.time()
-        tc2 = {}
-        predictor.process_video(frames, tc2)
-        e2 = time.time() - t0
-        if n_frames / e2 > fps:
-            fps = n_frames / e2
-            _emit(
-                fps,
-                extra=(
-                    f"# pass2 (better): stage_times="
-                    f"{ {k: round(v, 3) for k, v in tc2.items()} }"
-                ),
+    if _remaining() > 120.0:
+        try:
+            t0 = time.time()
+            tc2 = {}
+            predictor.process_video(frames, tc2)
+            e2 = time.time() - t0
+            print(
+                f"# pass2: fps={n_frames / e2:.2f} stage_times="
+                f"{ {k: round(v, 3) for k, v in tc2.items()} }",
+                file=sys.stderr, flush=True,
             )
+            fps = max(fps, n_frames / e2)
+        except Exception as e:  # noqa: BLE001
+            # pass 1's number is a complete record: emit it and exit SUCCESS
+            # (a re-exec retry would print a second JSON line)
+            print(f"# pass2 crashed ({type(e).__name__}); keeping pass1",
+                  file=sys.stderr, flush=True)
+            _emit(fps)
+            sys.exit(0)
+    _emit(fps)
 
 
 if __name__ == "__main__":

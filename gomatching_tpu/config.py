@@ -406,12 +406,14 @@ def get_cfg() -> CfgNode:
     # kernel; ops/deform_attn_pallas.py)
     r.SAMPLING_IMPL = "vmem"
     # sampler for paths that differentiate THROUGH the spotter (image/video
-    # pretraining). The fused kernels now carry custom VJPs (fused backward
-    # kernels, ops/deform_attn_{vmem,dec_vmem}.py; grad parity in
-    # tests/test_deform_attn_grads.py), so 'vmem' is allowed here; 'tiled'
-    # (pure XLA, same contract) stays the default until the vmem backward is
-    # measured faster on real hardware (tools/bench_train.py).
-    r.TRAIN_SAMPLING_IMPL = "tiled"
+    # pretraining). '' (default) derives from SAMPLING_IMPL: explicit 'xla'/
+    # 'tiled' choices are honored, the non-differentiable 'pallas' maps to
+    # 'tiled', and 'vmem' maps to 'tiled' until its custom-VJP backward
+    # (fused backward kernels, ops/deform_attn_{vmem,dec_vmem}.py; grad
+    # parity in tests/test_deform_attn_grads.py) is measured faster on real
+    # hardware (tools/bench_train.py --pretrain --impl both). Set 'vmem'
+    # explicitly to train through the fused kernels.
+    r.TRAIN_SAMPLING_IMPL = ""
     # max |sampling offset| (target-level cells) resolved exactly by the
     # tiled/vmem encoder samplers; size it with tools/certify_halo.py
     # (ops.deform_attn_tiled.deform_attn_dropped_mass). The init scheme caps
@@ -420,6 +422,17 @@ def get_cfg() -> CfgNode:
     # dropped attention mass at halo>=4 — 5 keeps a margin. Raise it (or use
     # 'xla') if certify_halo flags a converted checkpoint.
     r.TILED_HALO = 5
+    # vmem encoder footprint x-origin alignment (cells). The footprint width
+    # rounds up to a multiple of this, so smaller blocks shrink the window
+    # DMA + MXU K (tx=16 at halo 4: block 8 -> Fw=32, block 4 -> Fw=28) at
+    # the cost of weaker Mosaic window-start alignment hints. Sweep on the
+    # target hardware (tools/bench_vmem_v2.py --block).
+    r.ENC_BLOCK = 8
+    # decoder hybrid: route this many FINEST levels of the decoder's vmem
+    # cross-attention through the gather core instead of the full-level
+    # one-hot kernel (exact linear split; level 0 is ~75% of the one-hot G
+    # build's token mass while decoder gathers are tiny). 0 = all fused.
+    r.DEC_GATHER_LEVELS = 0
     # host->device frame wire format for video inference: 'rgb' ships raw
     # uint8 frames (bit-exact reference parity), 'yuv420' ships planar I420
     # (half the bytes; video sources are 4:2:0 at origin, and the device-side

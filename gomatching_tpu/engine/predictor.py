@@ -265,13 +265,10 @@ class VideoPredictor:
             self._raw_spot_fns[key] = fn
         return fn
 
-    def _upload_window(self, batch: np.ndarray):
-        """Encode + device_put one window's SPOT_BATCH*SPOT_SUPER super-chunks
-        WITHOUT dispatching compute. Returns [(device wire, nm, keep)] where
-        ``keep`` counts real (un-padded) frames in the super-chunk. device_put
-        returns as soon as the transfer is enqueued, so a caller can overlap
-        the wire time with the previous window's compute + tracking
-        (TPU.PIPELINE_WINDOWS)."""
+    def _iter_window_chunks(self, batch: np.ndarray):
+        """Encode one window's SPOT_BATCH*SPOT_SUPER super-chunks lazily.
+        Yields (wire ndarray, nm, keep) where ``keep`` counts real (un-padded)
+        frames in the super-chunk."""
         n = len(batch)
         bs = self.spot_batch
         sup = self.spot_super if self.mesh is None else 1
@@ -280,7 +277,6 @@ class VideoPredictor:
         # batch's upload instead of `sup` batches' worth (the ~35 MB/s tunnel
         # makes the upload ramp the pipeline's exposed prefix)
         bounds = list(range(bs if sup > 1 and n > bs else step, n, step))
-        uploaded = []
         for s, e in zip([0] + bounds, bounds + [n]):
             chunk = batch[s:e]
             keep = len(chunk)
@@ -293,8 +289,17 @@ class VideoPredictor:
             wire = self.encode_frames(chunk)
             if nm > 1:
                 wire = wire.reshape((nm, bs) + wire.shape[1:])
-            uploaded.append((jax.device_put(wire), nm, keep))
-        return uploaded
+            yield wire, nm, keep
+
+    def _upload_window(self, batch: np.ndarray):
+        """Encode + device_put one window's super-chunks WITHOUT dispatching
+        compute. Returns [(device wire, nm, keep)]. device_put returns as soon
+        as the transfer is enqueued, so a caller can overlap the wire time
+        with the previous window's compute + tracking (TPU.PIPELINE_WINDOWS)."""
+        return [
+            (jax.device_put(wire), nm, keep)
+            for wire, nm, keep in self._iter_window_chunks(batch)
+        ]
 
     def _dispatch_uploaded(self, uploaded, orig_hw, target_hw, th):
         """Dispatch the spot program over pre-uploaded super-chunks."""
@@ -308,10 +313,20 @@ class VideoPredictor:
     def _dispatch_window(self, batch: np.ndarray, orig_hw, target_hw, th,
                          uploaded=None):
         """Upload + dispatch one window of frames. Returns
-        [(device_output (rows, nq, K), rows, keep)] per super-chunk."""
-        if uploaded is None:
-            uploaded = self._upload_window(batch)
-        return self._dispatch_uploaded(uploaded, orig_hw, target_hw, th)
+        [(device_output (rows, nq, K), rows, keep)] per super-chunk.
+
+        Without pre-uploaded chunks, upload and dispatch INTERLEAVE per chunk
+        (encode c1 / wire c1 / compute c0 overlap — the strict-mode ramp the
+        single-batch first chunk exists for)."""
+        bs = self.spot_batch
+        if uploaded is not None:
+            return self._dispatch_uploaded(uploaded, orig_hw, target_hw, th)
+        pending = []
+        for wire, nm, keep in self._iter_window_chunks(batch):
+            dev = jax.device_put(wire)
+            out = self._raw_spot_fn(orig_hw, target_hw, nm)(self.params, dev, th)
+            pending.append((out, nm * bs, keep))
+        return pending
 
     def encode_frames(self, chunk_u8: np.ndarray) -> np.ndarray:
         """uint8 BGR frames -> the wire format ``_raw_spot_fn`` expects

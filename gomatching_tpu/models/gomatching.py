@@ -75,6 +75,8 @@ class GoMatchingModel(nn.Module):
     compute_dtype: str = "float32"
     sampling_impl: str = "xla"
     tiled_halo: int = 8
+    enc_block: int = 8
+    dec_gather_levels: int = 0
 
     def setup(self):
         if self.backbone_name == "build_resnet_backbone":
@@ -111,6 +113,8 @@ class GoMatchingModel(nn.Module):
             boundary_head=self.boundary_head,
             sampling_impl=self.sampling_impl,
             tiled_halo=self.tiled_halo,
+            enc_block=self.enc_block,
+            dec_gather_levels=self.dec_gather_levels,
             name="detection_transformer",
         )
         self.tracker = LSTMatcherHead(
@@ -287,6 +291,8 @@ class SpotterPretrainModel(nn.Module):
     boundary_head: bool = True
     sampling_impl: str = "xla"
     tiled_halo: int = 8
+    enc_block: int = 8
+    dec_gather_levels: int = 0
     swin_type: str = "tiny"
     swin_drop_path: float = 0.0
 
@@ -328,6 +334,8 @@ class SpotterPretrainModel(nn.Module):
             return_aux_outputs=True,
             sampling_impl=self.sampling_impl,
             tiled_halo=self.tiled_halo,
+            enc_block=self.enc_block,
+            dec_gather_levels=self.dec_gather_levels,
             name="detection_transformer",
         )
 
@@ -354,12 +362,18 @@ class SpotterPretrainModel(nn.Module):
 
 def build_pretrain_model(cfg) -> SpotterPretrainModel:
     t = cfg.MODEL.TRANSFORMER
-    # pretraining differentiates THROUGH the spotter: use the training
-    # sampler. 'tiled' (pure XLA) and 'vmem' (fused kernels + custom-VJP
-    # fused backwards) share the exactness contract and differentiate;
-    # 'pallas' has no VJP and falls back to tiled.
-    impl = cfg.TPU.TRAIN_SAMPLING_IMPL
-    if impl == "pallas":
+    # pretraining differentiates THROUGH the spotter: TRAIN_SAMPLING_IMPL
+    # selects the sampler; '' derives it from SAMPLING_IMPL, honoring an
+    # explicit 'xla' (exact-everywhere gather) while mapping 'pallas' (no
+    # VJP) and 'vmem' (custom-VJP backward exists but is not yet measured
+    # faster — set TRAIN_SAMPLING_IMPL=vmem to opt in) to 'tiled'.
+    impl = cfg.TPU.TRAIN_SAMPLING_IMPL or cfg.TPU.SAMPLING_IMPL
+    if not cfg.TPU.TRAIN_SAMPLING_IMPL and impl in ("vmem", "pallas"):
+        print(f"# pretraining sampler: TPU.SAMPLING_IMPL={impl} -> 'tiled' "
+              "(set TPU.TRAIN_SAMPLING_IMPL=vmem to train through the fused "
+              "kernels' custom VJPs)")
+        impl = "tiled"
+    elif impl == "pallas":
         impl = "tiled"
     return SpotterPretrainModel(
         backbone_name=cfg.MODEL.BACKBONE.NAME,
@@ -379,6 +393,8 @@ def build_pretrain_model(cfg) -> SpotterPretrainModel:
         boundary_head=t.BOUNDARY_HEAD,
         sampling_impl=impl,
         tiled_halo=cfg.TPU.TILED_HALO,
+        enc_block=cfg.TPU.ENC_BLOCK,
+        dec_gather_levels=cfg.TPU.DEC_GATHER_LEVELS,
         swin_type=cfg.MODEL.SWIN.TYPE,
         swin_drop_path=cfg.MODEL.SWIN.DROP_PATH_RATE,
     )
@@ -422,4 +438,6 @@ def build_model(cfg) -> GoMatchingModel:
         compute_dtype=cfg.MODEL.PRECISION,
         sampling_impl=cfg.TPU.SAMPLING_IMPL,
         tiled_halo=cfg.TPU.TILED_HALO,
+        enc_block=cfg.TPU.ENC_BLOCK,
+        dec_gather_levels=cfg.TPU.DEC_GATHER_LEVELS,
     )

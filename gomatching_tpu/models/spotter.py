@@ -115,6 +115,11 @@ class MSDeformAttn(nn.Module):
     # encoder self-attn; falls back to 'xla' outside its exact regime), 'pallas'
     sampling_impl: str = "xla"
     tiled_halo: int = 8
+    # vmem tuning knobs (TPU.ENC_BLOCK / TPU.DEC_GATHER_LEVELS): encoder
+    # footprint x-origin alignment, and how many finest levels the decoder
+    # hybrid routes through the gather core (0 = all fused one-hot)
+    enc_block: int = 8
+    dec_gather_levels: int = 0
 
     @nn.compact
     def __call__(
@@ -188,7 +193,7 @@ class MSDeformAttn(nn.Module):
             )
             out_tm = ms_deform_attn_encoder_vmem_v2(
                 value, spatial_shapes, offT, attnT, halo=self.tiled_halo,
-                interpret=not _on_tpu(),
+                block=self.enc_block, interpret=not _on_tpu(),
             )  # (B, S_tm, M*D) tile-major
             inv = tile_major_inverse(spatial_shapes)
             out = jnp.take(out_tm, jnp.asarray(inv), axis=1)
@@ -247,7 +252,8 @@ class MSDeformAttn(nn.Module):
             from ..ops.deform_attn_dec_vmem import ms_deform_attn_queries_vmem
 
             out = ms_deform_attn_queries_vmem(
-                value, spatial_shapes, loc, attn, interpret=not _on_tpu()
+                value, spatial_shapes, loc, attn,
+                gather_levels=self.dec_gather_levels, interpret=not _on_tpu()
             )
         else:
             out = ms_deform_attn_core(value, spatial_shapes, loc, attn, query_chunk=query_chunk)
@@ -264,12 +270,14 @@ class EncoderLayer(nn.Module):
     n_points: int
     sampling_impl: str = "xla"
     tiled_halo: int = 8
+    enc_block: int = 8
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, token_valid):
         attn = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            sampling_impl=self.sampling_impl, tiled_halo=self.tiled_halo, name="self_attn"
+            sampling_impl=self.sampling_impl, tiled_halo=self.tiled_halo,
+            enc_block=self.enc_block, name="self_attn"
         )(src + pos, reference_points, src, spatial_shapes, token_valid,
           is_encoder_self_attn=True)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn)
@@ -287,6 +295,7 @@ class DecoderLayer(nn.Module):
     n_points: int
     sampling_impl: str = "xla"
     tiled_halo: int = 8
+    dec_gather_levels: int = 0
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, memory, spatial_shapes, token_valid):
@@ -309,7 +318,8 @@ class DecoderLayer(nn.Module):
         flat_ref = reference_points.reshape(B, nq * npts, self.n_levels, 2)
         out = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            sampling_impl=self.sampling_impl, tiled_halo=self.tiled_halo, name="attn_cross"
+            sampling_impl=self.sampling_impl, tiled_halo=self.tiled_halo,
+            dec_gather_levels=self.dec_gather_levels, name="attn_cross"
         )(flat_q, flat_ref, memory, spatial_shapes, token_valid, query_chunk=0)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm_cross")(tgt + out.reshape(tgt.shape))
 
@@ -346,6 +356,8 @@ class DeepSoloSpotter(nn.Module):
     return_aux_outputs: bool = False
     sampling_impl: str = "xla"
     tiled_halo: int = 8
+    enc_block: int = 8
+    dec_gather_levels: int = 0
 
     def setup(self):
         C = self.d_model
@@ -388,6 +400,7 @@ class DeepSoloSpotter(nn.Module):
                 self.enc_n_points,
                 sampling_impl=self.sampling_impl,
                 tiled_halo=self.tiled_halo,
+                enc_block=self.enc_block,
                 name=f"encoder_layer_{i}",
             )
             for i in range(self.num_encoder_layers)
@@ -401,6 +414,7 @@ class DeepSoloSpotter(nn.Module):
                 self.dec_n_points,
                 sampling_impl=self.sampling_impl,
                 tiled_halo=self.tiled_halo,
+                dec_gather_levels=self.dec_gather_levels,
                 name=f"decoder_layer_{i}",
             )
             for i in range(self.num_decoder_layers)

@@ -326,16 +326,44 @@ def ms_deform_attn_queries_vmem(
     attention_weights: jnp.ndarray,
     block: int = 8,
     query_block: int = 256,  # measured best on v5e (8.4 ms at 128, 6.3 at 256)
+    gather_levels: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Deformable attention for ARBITRARY queries via full-level one-hot MXU
     contractions. Exact (same zero-padding semantics as the gather core) and
     differentiable (fused backward kernel — see module docstring).
 
+    ``gather_levels > 0`` routes the FINEST ``gather_levels`` levels through
+    the corner-merged gather core instead (level-0 hybrid,
+    docs/PERF_NOTES.md): at decoder query counts (~2.5k) the gather is tiny,
+    while the one-hot G build scales with the level's full (Hp, Wp) extent —
+    level 0 is ~75% of the token mass. Deformable attention is linear over
+    (level, point) slices once the softmax is done, so the split is EXACT;
+    both halves differentiate (gather via XLA, fused via the custom VJP).
+    The level-0 corner table depends only on ``value``, so XLA CSEs it
+    across the decoder's six cross-attention layers.
+
     Args match ``ms_deform_attn_core``: value (B, S, M, D), sampling_locations
     (B, Lq, M, L, P, 2) normalized, attention_weights (B, Lq, M, L, P).
     Returns (B, Lq, M*D).
     """
     shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
-    return _op(shapes, block, query_block, interpret,
-               value, sampling_locations, attention_weights)
+    L = len(shapes)
+    if gather_levels <= 0:
+        return _op(shapes, block, query_block, interpret,
+                   value, sampling_locations, attention_weights)
+    from .deform_attn import ms_deform_attn_core
+
+    g = min(int(gather_levels), L)
+    s0 = sum(h * w for h, w in shapes[:g])
+    out = ms_deform_attn_core(
+        value[:, :s0], shapes[:g],
+        sampling_locations[:, :, :, :g], attention_weights[:, :, :, :g],
+    )
+    if g < L:
+        out = out + _op(
+            shapes[g:], block, query_block, interpret,
+            value[:, s0:],
+            sampling_locations[:, :, :, g:], attention_weights[:, :, :, g:],
+        )
+    return out

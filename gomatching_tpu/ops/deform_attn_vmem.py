@@ -360,21 +360,13 @@ def _v2_impl(
     for l, (H1, W1) in enumerate(spatial_shapes):
         s_tm, T, Q, ty, tx, nty, ntx = level_info[l]
         assert tx & (tx - 1) == 0, "in-kernel query iota needs power-of-two tx"
-        geom: List[Tuple[int, int, int]] = []  # (l2, Fh, Fw)
-        scales: List[Tuple[float, float]] = []
-        oy_np = np.zeros((L, T), np.int32)
-        ox_np = np.zeros((L, T), np.int32)
-        for l2, (H2, W2) in enumerate(spatial_shapes):
-            if "samelvl" in ablate and l2 != l:  # timing-only ablation
-                continue
-            Hp2, Wp2 = grids[l2].shape[1], grids[l2].shape[2]
-            oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, 1)
-            oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)
-            geom.append((l2, Fh, Fw))
-            scales.append((H2 / H1, W2 / W1))
-            oy_np[l2] = np.repeat(np.asarray(oys, np.int32), ntx)
-            ox_np[l2] = np.tile(np.asarray(oxs, np.int32), nty)
-        org = jnp.asarray(np.stack([oy_np, ox_np], axis=0).reshape(2 * L, T))
+        # ONE geometry source for the custom-VJP pair: the backward
+        # (_v2_bwd_impl) derives its footprints from the same helper, so a
+        # forward geometry change cannot silently desynchronize the gradients
+        geom, scales, org_np, _, _ = _v2_level_geometry(
+            spatial_shapes, grids, level_info, l, halo, block, ablate=ablate
+        )
+        org = jnp.asarray(org_np)
 
         def fp_spec(l2, Fh, Fw):
             def idx(t_, b_, org_ref):
@@ -438,7 +430,8 @@ def _v2_impl(
     return jnp.concatenate(out_levels, axis=1)
 
 
-def _v2_level_geometry(spatial_shapes, grids, level_info, l, halo, block):
+def _v2_level_geometry(spatial_shapes, grids, level_info, l, halo, block,
+                       ablate=frozenset()):
     """Per-source-level footprint geometry shared by the fwd/bwd kernels:
     (geom [(l2, Fh, Fw)], scales, org (2L, T) int array, oy/ox per level)."""
     L = len(spatial_shapes)
@@ -449,6 +442,8 @@ def _v2_level_geometry(spatial_shapes, grids, level_info, l, halo, block):
     oy_np = np.zeros((L, T), np.int32)
     ox_np = np.zeros((L, T), np.int32)
     for l2, (H2, W2) in enumerate(spatial_shapes):
+        if "samelvl" in ablate and l2 != l:  # timing-only ablation
+            continue
         Hp2, Wp2 = grids[l2].shape[1], grids[l2].shape[2]
         oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, 1)
         oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)

@@ -104,17 +104,24 @@ def test_encoder_vmem_v2_projection_layout():
         )
     )
     want = ms_deform_attn_encoder_tiled(value, SHAPES, loc, attn, halo=2, tile_sizes=TILES)
-    got_tm = ms_deform_attn_encoder_vmem_v2(
-        value, SHAPES, offT, attnT, halo=2, tile_sizes=TILES, interpret=True
-    )
     inv = tile_major_inverse(SHAPES, TILES)
-    got = jnp.take(got_tm, jnp.asarray(inv), axis=1)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+    for block in (8, 4):  # TPU.ENC_BLOCK: footprint x-alignment sweep values
+        got_tm = ms_deform_attn_encoder_vmem_v2(
+            value, SHAPES, offT, attnT, halo=2, block=block, tile_sizes=TILES,
+            interpret=True,
+        )
+        got = jnp.take(got_tm, jnp.asarray(inv), axis=1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5,
+            err_msg=f"block={block}",
+        )
 
 
-def test_decoder_queries_vmem_exact():
+@pytest.mark.parametrize("gather_levels", [0, 1, 2, 4])
+def test_decoder_queries_vmem_exact(gather_levels):
     """Full-level one-hot kernel for arbitrary queries == gather core,
-    including out-of-range sampling locations (zero-padding semantics)."""
+    including out-of-range sampling locations (zero-padding semantics) and
+    the level-hybrid splits (finest ``gather_levels`` levels via gather)."""
     from gomatching_tpu.ops.deform_attn import ms_deform_attn_core
     from gomatching_tpu.ops.deform_attn_dec_vmem import ms_deform_attn_queries_vmem
 
@@ -125,8 +132,42 @@ def test_decoder_queries_vmem_exact():
     attn = rng.rand(B, Lq, M, L, P).astype(np.float32)
     attn = jnp.asarray(attn / attn.sum((-1, -2), keepdims=True))
     want = ms_deform_attn_core(value, SHAPES, loc, attn, query_chunk=0)
-    got = ms_deform_attn_queries_vmem(value, SHAPES, loc, attn, query_block=16, interpret=True)
+    got = ms_deform_attn_queries_vmem(
+        value, SHAPES, loc, attn, query_block=16,
+        gather_levels=gather_levels, interpret=True,
+    )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_decoder_hybrid_grads_match_fused():
+    """The level-hybrid decoder path must carry the same gradients as the
+    all-fused path (gather half: XLA AD; fused half: the custom VJP)."""
+    from gomatching_tpu.ops.deform_attn_dec_vmem import ms_deform_attn_queries_vmem
+
+    rng = np.random.RandomState(3)
+    Lq = 21
+    value = jnp.asarray(rng.randn(B, S, M, D), np.float32)
+    loc = jnp.asarray(rng.uniform(0.05, 0.95, (B, Lq, M, L, P, 2)).astype(np.float32))
+    attn = rng.rand(B, Lq, M, L, P).astype(np.float32)
+    attn = jnp.asarray(attn / attn.sum((-1, -2), keepdims=True))
+    cot = jnp.asarray(rng.randn(B, Lq, M * D), np.float32)
+
+    def loss(gl):
+        def f(v, lc, at):
+            out = ms_deform_attn_queries_vmem(
+                v, SHAPES, lc, at, query_block=16, gather_levels=gl,
+                interpret=True,
+            )
+            return jnp.sum(out * cot)
+
+        return jax.grad(f, argnums=(0, 1, 2))(value, loc, attn)
+
+    g0 = loss(0)
+    g1 = loss(1)
+    for a, b, name in zip(g0, g1, ("dvalue", "dloc", "dattn")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, err_msg=name
+        )
 
 
 def test_spotter_vmem_impl_matches_xla():
