@@ -423,10 +423,11 @@ def get_cfg() -> CfgNode:
     # 'xla') if certify_halo flags a converted checkpoint.
     r.TILED_HALO = 5
     # vmem encoder footprint x-origin alignment (cells). The footprint width
-    # rounds up to a multiple of this, so smaller blocks shrink the window
-    # DMA + MXU K (tx=16 at halo 4: block 8 -> Fw=32, block 4 -> Fw=28) at
-    # the cost of weaker Mosaic window-start alignment hints. Sweep on the
-    # target hardware (tools/bench_vmem_v2.py --block).
+    # rounds up to a multiple of max(this, 8) — Mosaic requires the window's
+    # second-minor dim be 8-aligned — so blocks < 8 only loosen the x-origin
+    # grid (rarely shrinking Fw) while weakening the window-start alignment
+    # hints; measured on-par-or-slower than 8 on v5e. Sweep on the target
+    # hardware (tools/bench_vmem_v2.py --block).
     r.ENC_BLOCK = 8
     # decoder hybrid: route this many FINEST levels of the decoder's vmem
     # cross-attention through the gather core instead of the full-level

@@ -111,6 +111,15 @@ def tile_major_perm(
         # keep tx a power of two: the v2 kernel derives query (row, col)
         # from an in-tile iota via // and % tx
         tx = 1 << (tx.bit_length() - 1)
+        # Mosaic: the v2 kernels window the tile-major token axis in
+        # Q = ty*tx blocks, and TPU lowering requires minor-dim blocks be
+        # 128-lane multiples (or span the full axis). Small levels (e.g. the
+        # coarsest map of a 736px training crop -> 12x12 -> 8x8 tile = 64
+        # tokens) would violate that, so grow the tile ROWS until Q is a
+        # lane multiple: rows beyond H1 are filler slots (perm points them
+        # at token 0; outputs are dropped by ``tile_major_inverse``).
+        if (ty * tx) % 128:
+            ty = -(-(ty * tx) // 128) * 128 // tx
         nty, ntx = -(-H1 // ty), -(-W1 // tx)
         idx = np.zeros((nty * ty, ntx * tx), np.int64)
         iy, ix = np.mgrid[0 : nty * ty, 0 : ntx * tx]
@@ -447,6 +456,12 @@ def _v2_level_geometry(spatial_shapes, grids, level_info, l, halo, block,
         Hp2, Wp2 = grids[l2].shape[1], grids[l2].shape[2]
         oys, Fh = _footprint_bounds(H1, ty, nty, H2, Hp2, halo, 1)
         oxs, Fw = _footprint_bounds(W1, tx, ntx, W2, Wp2, halo, block)
+        # Mosaic window constraint: the minor-1 (Fw) window dim must be a
+        # multiple of 8 or the full padded extent, regardless of `block`
+        # (growing F only widens coverage; origins stay block-aligned).
+        if Fw % 8 and Fw != Wp2:
+            Fw = min(-(-Fw // 8) * 8, Wp2)
+            oxs = [max(0, min(o, ((Wp2 - Fw) // block) * block)) for o in oxs]
         geom.append((l2, Fh, Fw))
         scales.append((H2 / H1, W2 / W1))
         oy_np[l2] = np.repeat(np.asarray(oys, np.int32), ntx)

@@ -117,6 +117,81 @@ def test_encoder_vmem_v2_projection_layout():
         )
 
 
+def test_encoder_vmem_v2_fw_rounding_geometry():
+    """Footprint geometry where the raw x-extent violates Mosaic's
+    second-minor window alignment (Fw % 8 != 0 and Fw < Wp): at
+    shapes [(24,40),(12,20)], tiles (8,8), halo=3, block=4 the level-0 ->
+    level-1 footprint is Fw=12 on Wp=20 and must be widened to 16 without
+    changing the sampled result (forward and the custom-VJP backward)."""
+    from gomatching_tpu.ops.deform_attn_tiled import ms_deform_attn_encoder_tiled
+    from gomatching_tpu.ops.deform_attn_vmem import (
+        _footprint_bounds,
+        ms_deform_attn_encoder_vmem_v2,
+        tile_major_inverse,
+        tile_major_perm,
+    )
+
+    shapes = [(24, 40), (12, 20)]
+    tiles = (8, 8)
+    halo, block = 3, 4
+    # precondition: this config actually exercises the rounding path
+    _, fw_raw = _footprint_bounds(40, 8, 5, 20, 20, halo, block)
+    assert fw_raw % 8 != 0 and fw_raw != 20, fw_raw
+
+    S = sum(h * w for h, w in shapes)
+    Bs, M, D, L, P = 1, 4, 8, 2, 4
+    rng = np.random.RandomState(7)
+    value = jnp.asarray(rng.randn(Bs, S, M, D), np.float32)
+    refs = []
+    for h, w in shapes:
+        gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+        refs.append(np.stack([(gx.ravel() + 0.5) / w, (gy.ravel() + 0.5) / h], -1))
+    ref = jnp.asarray(np.concatenate(refs, 0)[None, :, None, None, None, :])
+    wh = jnp.asarray(np.array([[w, h] for h, w in shapes], np.float32))
+    off_cells = jnp.asarray(
+        rng.uniform(-2.0, 2.0, (Bs, S, M, L, P, 2)), np.float32
+    )
+    attn = rng.rand(Bs, S, M, L, P).astype(np.float32)
+    attn = jnp.asarray(attn / attn.sum((-1, -2), keepdims=True))
+    cot = jnp.asarray(rng.randn(Bs, S, M * D), np.float32)
+
+    perm, _ = tile_major_perm(shapes, tiles)
+    permj = jnp.asarray(perm)
+    invj = jnp.asarray(tile_major_inverse(shapes, tiles))
+
+    def loss_tiled(v, oc, a):
+        loc = ref + oc / wh[None, None, None, :, None, :]
+        out = ms_deform_attn_encoder_tiled(v, shapes, loc, a, halo=halo,
+                                           tile_sizes=tiles)
+        return jnp.sum(out * cot)
+
+    def loss_v2(v, oc, a):
+        offT = jnp.take(oc, permj, axis=1).transpose(0, 3, 5, 2, 4, 1).reshape(
+            Bs, L * 2 * M * P, -1
+        )
+        attnT = jnp.take(a, permj, axis=1).transpose(0, 3, 2, 4, 1).reshape(
+            Bs, L * M * P, -1
+        )
+        out_tm = ms_deform_attn_encoder_vmem_v2(
+            v, shapes, offT, attnT, halo=halo, block=block, tile_sizes=tiles,
+            interpret=True,
+        )
+        return jnp.sum(jnp.take(out_tm, invj, axis=1) * cot)
+
+    np.testing.assert_allclose(
+        float(loss_v2(value, off_cells, attn)),
+        float(loss_tiled(value, off_cells, attn)),
+        rtol=1e-4,
+    )
+    g_v2 = jax.grad(loss_v2, argnums=(0, 1, 2))(value, off_cells, attn)
+    g_ref = jax.grad(loss_tiled, argnums=(0, 1, 2))(value, off_cells, attn)
+    for got, want, name in zip(g_v2, g_ref, ("value", "offsets", "attn")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
 @pytest.mark.parametrize("gather_levels", [0, 1, 2, 4])
 def test_decoder_queries_vmem_exact(gather_levels):
     """Full-level one-hot kernel for arbitrary queries == gather core,
