@@ -117,6 +117,9 @@ def _wait_for_worker():
 
 def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
+    # spot-then-track window length (reference eval.py uses 100-frame windows;
+    # smaller windows engage TPU.PIPELINE_WINDOWS overlap across windows)
+    bench_window = int(os.environ.get("BENCH_WINDOW", "100"))
     spot_batch = int(os.environ.get("BENCH_BATCH", "3"))
     precision = os.environ.get("BENCH_PRECISION", "bfloat16")
     impl = os.environ.get("BENCH_IMPL", "")  # override TPU.SAMPLING_IMPL
@@ -208,21 +211,28 @@ def main():
         )
         _save_state({"key": state_key, "thresh": predictor.score_thresh})
 
-    # warmup (compiles the association buckets; spot program is already built)
-    predictor.process_video(frames[: 2 * spot_batch])
+    # warmup: run the EXACT measured workload once (spot program is already
+    # built; this compiles the association/reid buckets at their real sizes —
+    # a short warmup left short/long-match compiles inside pass 1, which
+    # measured 2.4 fps where pass 2 hit 10.3)
+    if _remaining() > 300.0:
+        predictor.process_video(frames, window=bench_window)
+    else:
+        predictor.process_video(frames[: 2 * spot_batch])
 
     # first measured pass: the record is SECURED from here on — if the second
     # pass crashes, the except arm still emits this number (round 3's record
     # was lost to a timeout). Exactly ONE JSON line reaches stdout.
     t0 = time.time()
     tc = {}
-    tracked = predictor.process_video(frames, tc)
+    tracked = predictor.process_video(frames, tc, window=bench_window)
     elapsed = time.time() - t0
     fps = n_frames / elapsed
     n_inst = sum(len(f) for f in tracked) / max(len(tracked), 1)
     print(
-        f"# pass1: frames={n_frames} batch={spot_batch} precision={precision} "
-        f"upload={upload} compile={compile_s:.0f}s inst/frame={n_inst:.1f} "
+        f"# pass1: frames={n_frames} batch={spot_batch} window={bench_window} "
+        f"precision={precision} upload={upload} compile={compile_s:.0f}s "
+        f"inst/frame={n_inst:.1f} "
         f"fps={fps:.2f} stage_times={ {k: round(v, 3) for k, v in tc.items()} }",
         file=sys.stderr, flush=True,
     )
@@ -233,7 +243,7 @@ def main():
         try:
             t0 = time.time()
             tc2 = {}
-            predictor.process_video(frames, tc2)
+            predictor.process_video(frames, tc2, window=bench_window)
             e2 = time.time() - t0
             print(
                 f"# pass2: fps={n_frames / e2:.2f} stage_times="

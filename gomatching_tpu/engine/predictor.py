@@ -534,9 +534,17 @@ class VideoPredictor:
         prev = None  # (frames, uploaded, pending) of the yet-untracked window
         for buf in gen_windows():
             up = pend = None
-            if pipeline >= 1:
+            # Pre-upload ONLY when a previous window is pending: overlapping
+            # window N+1's encode+wire with window N's fetch/track is the
+            # whole point, and for the FIRST window eager upload is a strict
+            # loss — it serializes encode->dispatch where spot_frames'
+            # interleaved path hides each chunk's host encode behind the
+            # previous chunk's device compute (measured ~0.5 s/24f slower).
+            if pipeline >= 1 and prev is not None:
                 # enqueue this window's wire bytes (and optionally compute)
-                # BEFORE fetching/tracking the previous window
+                # BEFORE fetching/tracking the previous window; its host-side
+                # cost is wire/upload work that belongs to the detector bucket
+                t0 = time.time()
                 batch = np.stack([np.ascontiguousarray(f) for f in buf])
                 up = self._upload_window(batch)
                 if pipeline >= 2:
@@ -549,6 +557,7 @@ class VideoPredictor:
                         up, orig_hw, thw, jnp.float32(self.score_thresh)
                     )
                     up = None
+                tc["detector"] = tc.get("detector", 0) + time.time() - t0
             if prev is not None:
                 flush(*prev)
             prev = (buf, up, pend)
