@@ -73,6 +73,49 @@ def merge_params(trainable, frozen):
     return {"params": {**frozen, **trainable}}
 
 
+def unpack_spot_meta(meta: np.ndarray) -> Dict[str, Optional[np.ndarray]]:
+    """Split the packed single-fetch host_meta (…, nq, npts, K) back into the
+    named spot fields prepare_batch reads (K=8 with a rescore head, else 7)."""
+    meta = np.asarray(meta, np.float32)
+    has_re = meta.shape[-1] == 8
+    o = 2 if has_re else 1
+    return {
+        "pred_logits": meta[..., :1],
+        "re_pred_logits": meta[..., 1:2] if has_re else None,
+        "pred_ctrl_points": meta[..., o : o + 2],
+        "pred_bd_points": meta[..., o + 2 : o + 6],
+    }
+
+
+def pack_host_batch(batch: Dict[str, np.ndarray]):
+    """Flatten the host-built batch (everything but query_features) into ONE
+    f32 vector + a static meta describing how to restore it. The tunneled TPU
+    charges ~30-40 ms FIXED per transfer RPC, so uploading ~10 small arrays
+    separately cost ~0.3 s/step; one packed upload costs one RPC. All packed
+    values are small integers/bools/normalized floats — exact in f32."""
+    keys = tuple(sorted(batch))
+    meta = tuple((k, tuple(batch[k].shape), str(np.asarray(batch[k]).dtype)) for k in keys)
+    flat = (
+        np.concatenate([np.asarray(batch[k], np.float32).ravel() for k in keys])
+        if keys
+        else np.zeros((0,), np.float32)
+    )
+    return flat, meta
+
+
+def unpack_host_batch(flat: jnp.ndarray, meta) -> Dict[str, jnp.ndarray]:
+    """Inverse of pack_host_batch inside jit (static shapes/dtypes; int64
+    restores as int32 — jax x64 is off and all values are small indices)."""
+    out, pos = {}, 0
+    for k, shape, dtype in meta:
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        x = flat[pos : pos + n].reshape(shape)
+        dt = {"int64": jnp.int32, "bool": jnp.bool_}.get(dtype, jnp.dtype(dtype))
+        out[k] = x.astype(dt)
+        pos += n
+    return out
+
+
 def warmup_cosine_schedule(base_lr: float, max_iter: int, warmup_iters: int = 1000,
                            warmup_factor: float = 1e-3):
     def schedule(step):
@@ -184,6 +227,7 @@ class Trainer:
 
         self._spot = jax.jit(self._spot_fn)
         self._update = jax.jit(self._update_fn)
+        self._packed_updates: Dict[Any, Any] = {}  # batch meta -> jitted update
 
     # ------------------------------------------------------------------
     def _spot_fn(self, frozen, trainable, images, image_hw):
@@ -191,8 +235,20 @@ class Trainer:
         out = self.model.apply(
             params, images, image_hw, method=GoMatchingModel.spot
         )
+        # host_meta packs every field prepare_batch's host phase reads into
+        # ONE small f32 fetch ([logit | re_logit? | ctrl xy | bd xyxy] on the
+        # last axis). query_features — 32-64x larger — stays device-resident:
+        # over the ~35 MB/s tunnel, round-tripping a (8,100,25,256) f32 qf
+        # cost ~1.2 s of the measured 1.5 s tracker step (PERF_NOTES round 4).
+        meta = [out["pred_logits"]]
+        if out["re_pred_logits"] is not None:
+            meta.append(out["re_pred_logits"])
+        meta += [out["pred_ctrl_points"], out["pred_bd_points"]]
         return {
             "query_features": jax.lax.stop_gradient(out["query_features"]),
+            "host_meta": jax.lax.stop_gradient(
+                jnp.concatenate([m.astype(jnp.float32) for m in meta], axis=-1)
+            ),
             "pred_logits": jax.lax.stop_gradient(out["pred_logits"]),
             "pred_ctrl_points": jax.lax.stop_gradient(out["pred_ctrl_points"]),
             "pred_bd_points": jax.lax.stop_gradient(out["pred_bd_points"]),
@@ -382,35 +438,49 @@ class Trainer:
             asso_gt_pairs[t] = gp
             track_valid_pairs[t] = tv
 
+        # host-side numpy throughout: step() packs these into ONE upload
+        # (pack_host_batch) instead of ~10 per-field transfer RPCs
         out = {
-            "query_features": spot_out["query_features"],
-            "prop_valid": jnp.asarray(prop_valid),
-            "res_match_mask": jnp.asarray(res_match_mask),
-            "num_inst": jnp.asarray(float(num_inst)),
-            "asso_gt": jnp.asarray(asso_gt),
-            "match_cues": jnp.asarray(match_cues),
-            "track_valid": jnp.asarray(track_valid),
-            "asso_gt_pairs": jnp.asarray(asso_gt_pairs),
-            "track_valid_pairs": jnp.asarray(track_valid_pairs),
+            "prop_valid": prop_valid,
+            "res_match_mask": res_match_mask,
+            "num_inst": np.float32(num_inst),
+            "asso_gt": asso_gt,
+            "match_cues": match_cues,
+            "track_valid": track_valid,
+            "asso_gt_pairs": asso_gt_pairs,
+            "track_valid_pairs": track_valid_pairs,
         }
         if self.use_pos_emb:
             # normalized xyxy proposal boxes + frame-time fractions for the
             # interpolated pos-embedding path (boxes are already in [0, 1]
             # because pred_bd_points are normalized)
-            out["prop_boxes"] = jnp.asarray(boxes, jnp.float32)
-            out["prop_times"] = jnp.asarray(
-                np.broadcast_to((np.arange(T, dtype=np.float32) / T)[:, None], (T, nq)).copy()
-            )
+            out["prop_boxes"] = np.asarray(boxes, np.float32)
+            out["prop_times"] = np.broadcast_to(
+                (np.arange(T, dtype=np.float32) / T)[:, None], (T, nq)
+            ).copy()
         return out
 
     # ------------------------------------------------------------------
     def step(self, images: np.ndarray, image_hw, targets: Dict) -> Dict[str, float]:
-        """One full training iteration on one clip."""
+        """One full training iteration on one clip.
+
+        Tunnel-aware dataflow (PERF_NOTES round 4): the spot jit returns a
+        packed host_meta fetched in ONE RPC; query_features stays device-
+        resident; the host-built targets go back up as ONE packed f32 upload
+        unpacked inside the update jit."""
         spot_out = self._spot(self.state.frozen, self.state.trainable, images, image_hw)
-        spot_out = {k: (None if v is None else np.asarray(v)) for k, v in spot_out.items()}
-        batch = self.prepare_batch(spot_out, targets)
-        batch["query_features"] = jnp.asarray(spot_out["query_features"])
-        self.state, metrics = self._update(self.state, batch)
+        host = unpack_spot_meta(np.asarray(spot_out["host_meta"]))
+        batch = self.prepare_batch(host, targets)
+        flat, meta = pack_host_batch(batch)
+        fn = self._packed_updates.get(meta)
+        if fn is None:
+            def upd(state, flat, qf, _meta=meta):
+                b = unpack_host_batch(flat, _meta)
+                b["query_features"] = qf
+                return self._update_fn(state, b)
+
+            fn = self._packed_updates.setdefault(meta, jax.jit(upd))
+        self.state, metrics = fn(self.state, flat, spot_out["query_features"])
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------------
@@ -495,15 +565,18 @@ class Trainer:
             jax.device_put(imgs, self._data_sharding),
             jax.device_put(hws, self._data_sharding),
         )
-        spot_all = {k: (None if v is None else np.asarray(v)) for k, v in spot_all.items()}
+        # single packed fetch for every clip's host phase (see step())
+        meta_all = unpack_spot_meta(np.asarray(spot_all["host_meta"]))
         batches = []
         for i, (_, _, targets) in enumerate(clips):
-            spot = {k: (None if v is None else v[i]) for k, v in spot_all.items()}
+            spot = {k: (None if v is None else v[i]) for k, v in meta_all.items()}
             b = self.prepare_batch(spot, targets, frame_valid=targets.get("frame_valid"))
-            b["query_features"] = spot["query_features"]
             batches.append(jax.tree.map(np.asarray, b))
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
         stacked = jax.tree.map(lambda x: jax.device_put(x, self._data_sharding), stacked)
+        # device-resident, already sharded on 'data' by _spot_multi's
+        # out_shardings — never fetched to host
+        stacked["query_features"] = spot_all["query_features"]
         rng = jax.random.fold_in(jax.random.PRNGKey(17), self.state.step)
         trainable, opt_state, metrics = self._update_multi(
             self.state.trainable, self.state.frozen, self.state.opt_state, stacked, rng
