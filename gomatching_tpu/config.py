@@ -449,6 +449,14 @@ def get_cfg() -> CfgNode:
     # the device busy through the tracker phase; the tracker's batched
     # association calls then wait behind it — measure per deployment).
     r.PIPELINE_WINDOWS = 1
+    # host->device frame wire format for TRAINING (train_net.py loops):
+    # True ships clips as raw uint8 (4x fewer tunnel bytes) and normalizes
+    # in-graph — the reference's own order (gom_lstmatcher.py:159-169
+    # normalizes per-image on device, then ImageList.from_tensors zero-pads),
+    # with the canvas padding re-zeroed from image_hw so numerics match the
+    # host normalize-then-pad path exactly. False keeps the host-side f32
+    # normalize (bit-identical when source pixels are integral either way).
+    r.TRAIN_UPLOAD_UINT8 = True
     c.TPU = r
 
     return c

@@ -129,11 +129,22 @@ class SpotterPretrainer:
         # axon TPU client supports no host callbacks, and a mid-graph
         # host sync is a pipeline bubble on any accelerator
         self.two_phase = jax.default_backend() != "cpu"
+        self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+        self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
         self._step_fn = jax.jit(self._update)
         self._costs_fn = jax.jit(self._costs)
 
     # ------------------------------------------------------------------
     def _forward(self, params, images, image_hw, rng):
+        if images.dtype == jnp.uint8:
+            # raw uint8 wire format (TPU.TRAIN_UPLOAD_UINT8): normalize +
+            # re-zero canvas padding in-graph (reference order,
+            # gom_lstmatcher.py:159-169); static dtype gate, f32 path untouched
+            from .train import normalize_wire_frames
+
+            images = normalize_wire_frames(
+                images, self.pixel_mean, self.pixel_std, image_hw
+            )
         # drop-path (Swin) needs a 'dropout' rng and train=True; other backbones
         # have no train-time stochasticity so the deterministic path is identical
         if rng is not None:

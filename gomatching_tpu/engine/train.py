@@ -18,6 +18,7 @@ The step is SPMD-ready: under a Mesh it takes pmean of grads/num_inst over the
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -35,6 +36,28 @@ class TrainState(NamedTuple):
     frozen: Any  # everything else
     opt_state: Any
     step: jnp.ndarray
+
+
+def normalize_wire_frames(images, pixel_mean, pixel_std, image_hw=None):
+    """uint8 wire frames -> normalized f32 on device.
+
+    Training clips ship as raw uint8 (4x fewer bytes over a slow host link)
+    and are normalized in-graph — the reference's own order: the meta-arch
+    normalizes per-image on device, THEN ImageList.from_tensors zero-pads
+    (gom_lstmatcher.py:159-169). ``image_hw`` (B, 2) true (h, w) re-zeroes
+    the canvas padding so numerics match the host normalize-then-pad path
+    exactly; None means the frames fill the canvas.
+    """
+    x = images.astype(jnp.float32)
+    x = (x - jnp.asarray(pixel_mean, jnp.float32)) / jnp.asarray(pixel_std, jnp.float32)
+    if image_hw is not None:
+        b, h, w = x.shape[:3]
+        rows = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1)
+        cols = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2)
+        hw = image_hw.astype(jnp.float32)
+        valid = (rows < hw[:, 0, None, None]) & (cols < hw[:, 1, None, None])
+        x = x * valid[..., None].astype(jnp.float32)
+    return x
 
 
 def split_params(params, freeze_type: str = "ExceptROIheads"):
@@ -224,6 +247,9 @@ class Trainer:
         # and train/infer agree
         self.use_pos_emb = not model.asso_no_pos_emb
         self.with_temp_emb = model.asso_with_temp_emb
+        self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+        self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+        self.phase_t: Dict[str, float] = {}  # last step's wall-time split
 
         self._spot = jax.jit(self._spot_fn)
         self._update = jax.jit(self._update_fn)
@@ -231,6 +257,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _spot_fn(self, frozen, trainable, images, image_hw):
+        if images.dtype == jnp.uint8:
+            # raw wire format (TPU.TRAIN_UPLOAD_UINT8): normalize + re-zero
+            # padding in-graph; dtype is static so the f32 path is untouched
+            images = normalize_wire_frames(
+                images, self.pixel_mean, self.pixel_std, image_hw
+            )
         params = merge_params(trainable, frozen)
         out = self.model.apply(
             params, images, image_hw, method=GoMatchingModel.spot
@@ -468,10 +500,13 @@ class Trainer:
         packed host_meta fetched in ONE RPC; query_features stays device-
         resident; the host-built targets go back up as ONE packed f32 upload
         unpacked inside the update jit."""
+        t0 = time.perf_counter()
         spot_out = self._spot(self.state.frozen, self.state.trainable, images, image_hw)
         host = unpack_spot_meta(np.asarray(spot_out["host_meta"]))
+        t1 = time.perf_counter()
         batch = self.prepare_batch(host, targets)
         flat, meta = pack_host_batch(batch)
+        t2 = time.perf_counter()
         fn = self._packed_updates.get(meta)
         if fn is None:
             def upd(state, flat, qf, _meta=meta):
@@ -481,7 +516,13 @@ class Trainer:
 
             fn = self._packed_updates.setdefault(meta, jax.jit(upd))
         self.state, metrics = fn(self.state, flat, spot_out["query_features"])
-        return {k: float(v) for k, v in metrics.items()}
+        out = {k: float(v) for k, v in metrics.items()}
+        t3 = time.perf_counter()
+        # phase wall-times of the LAST step (tools/bench_train.py breakdown):
+        # spot = upload+spot jit+meta fetch; host = Hungarian/GT numpy phase;
+        # update = packed upload + matcher fwd/bwd/Adam + metrics fetch
+        self.phase_t = {"spot": t1 - t0, "host": t2 - t1, "update": t3 - t2}
+        return out
 
     # ------------------------------------------------------------------
     # SPMD data-parallel path: one clip per mesh 'data' slot per iteration —

@@ -31,8 +31,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def synth_clip(rng, t, h, w, npts=25, n_inst=8):
-    """Synthetic normalized clip + GT targets shaped like the video mapper's."""
-    images = rng.randn(t, h, w, 3).astype(np.float32)
+    """Synthetic raw uint8 clip + GT targets shaped like the video mapper's
+    (the production TRAIN_UPLOAD_UINT8 wire format — trainer normalizes
+    in-graph)."""
+    images = rng.randint(0, 256, (t, h, w, 3)).astype(np.uint8)
     gt_ctrl, gt_boxes, gt_ids, gt_texts = [], [], [], []
     for _ in range(t):
         n = n_inst
@@ -73,20 +75,35 @@ def bench_tracker(cfg, iters, frames, size, rng):
     images, targets = synth_clip(
         rng, frames, h, w, npts=cfg.MODEL.TRANSFORMER.NUM_POINTS
     )
+    hw = np.tile(np.asarray([h, w], np.float32)[None], (frames, 1))
+
+    import jax
 
     t0 = time.time()
-    trainer.step(images, None, targets)
+    trainer.step(images, hw, targets)
     compile_s = time.time() - t0
-    times = []
+    times, up_times, phases = [], [], []
     for _ in range(iters):
         t0 = time.time()
-        m = trainer.step(images, None, targets)
-        times.append(time.time() - t0)
-    sec = float(np.median(times))
+        # explicit timed upload so the wire cost is split out of the step
+        dev = jax.block_until_ready(jax.device_put(images))
+        t1 = time.time()
+        m = trainer.step(dev, hw, targets)
+        t2 = time.time()
+        up_times.append(t1 - t0)
+        times.append(t2 - t1)
+        phases.append(dict(trainer.phase_t))
+    sec = float(np.median([u + s for u, s in zip(up_times, times)]))
     total_h = sec * 30000 / 3600
+    med = lambda k: float(np.median([p[k] for p in phases])) * 1e3
     print(f"# tracker step: compile {compile_s:.0f}s; median {sec * 1e3:.0f} ms/iter "
-          f"(min {min(times) * 1e3:.0f}, max {max(times) * 1e3:.0f}); "
+          f"(min {(min(up_times) + min(times)) * 1e3:.0f}, "
+          f"max {(max(up_times) + max(times)) * 1e3:.0f}); "
           f"loss {m['total_loss']:.3f}")
+    print(f"#   split: upload {float(np.median(up_times)) * 1e3:.0f} "
+          f"({images.dtype}, {images.nbytes / 1e6:.0f} MB), "
+          f"spot {med('spot'):.0f}, host {med('host'):.0f}, "
+          f"update {med('update'):.0f} ms")
     print(f"# projected 30k iters: {total_h:.2f} h  "
           f"(reference: ~3 h on 1x RTX 3090, README.md:24)")
     return sec

@@ -48,17 +48,26 @@ def get_parser():
 
 
 def normalize_clip(sample, pixel_mean, pixel_std, pad_multiple: int = 32,
-                   canvas=None, pad_t: int = 0):
+                   canvas=None, pad_t: int = 0, raw: bool = False):
     """Stack clip frames -> (T, Hp, Wp, 3) normalized; return true (h, w).
 
     ``canvas``/``pad_t`` force a common (Hp, Wp)/frame count so clips from
-    different videos can stack on a sharded leading axis (SPMD path)."""
+    different videos can stack on a sharded leading axis (SPMD path).
+    ``raw``: ship uint8 pixels instead (TPU.TRAIN_UPLOAD_UINT8) — the trainer
+    normalizes + re-zeroes padding in-graph (normalize_wire_frames), the
+    reference's own device-side order (gom_lstmatcher.py:159-169)."""
     h, w = sample.image_hw
     hp = -(-max(h, canvas[0] if canvas else 0) // pad_multiple) * pad_multiple
     wp = -(-max(w, canvas[1] if canvas else 0) // pad_multiple) * pad_multiple
+    t = max(len(sample.images), pad_t)
+    if raw:
+        batch = np.zeros((t, hp, wp, 3), np.uint8)
+        for i, img in enumerate(sample.images):
+            batch[i, :h, :w] = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+        return batch, (h, w)
     mean = np.asarray(pixel_mean, np.float32)
     std = np.asarray(pixel_std, np.float32)
-    batch = np.zeros((max(len(sample.images), pad_t), hp, wp, 3), np.float32)
+    batch = np.zeros((t, hp, wp, 3), np.float32)
     for i, img in enumerate(sample.images):
         batch[i, :h, :w] = (img - mean) / std
     return batch, (h, w)
@@ -105,7 +114,10 @@ def pretrain_video_main(args, cfg):
     it = iter(loader)
     for i in range(max_iter):
         sample = next(it)
-        images, (h, w) = normalize_clip(sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD)
+        images, (h, w) = normalize_clip(
+            sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD,
+            raw=bool(cfg.TPU.TRAIN_UPLOAD_UINT8),
+        )
         targets = build_video_spotter_targets(sample, cfg.TPU.MAX_GT, t.NUM_POINTS, t.VOC_SIZE)
         hw = np.tile(np.asarray([h, w], np.float32)[None], (len(images), 1))
         metrics = trainer.step(images, targets, image_hw=hw)
@@ -173,8 +185,14 @@ def pretrain_main(args):
         )
         aug_rec = {"height": img.shape[0], "width": img.shape[1], "annotations": annos}
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
-        images = ((img.astype(np.float32) - np.asarray(cfg.MODEL.PIXEL_MEAN)) /
-                  np.asarray(cfg.MODEL.PIXEL_STD))[None]
+        if cfg.TPU.TRAIN_UPLOAD_UINT8:
+            # raw uint8 wire; no padding at (size, size) so no hw mask needed
+            images = np.ascontiguousarray(
+                np.clip(np.rint(img), 0, 255).astype(np.uint8)
+            )[None]
+        else:
+            images = ((img.astype(np.float32) - np.asarray(cfg.MODEL.PIXEL_MEAN)) /
+                      np.asarray(cfg.MODEL.PIXEL_STD))[None]
         targets = build_spotter_targets(aug_rec, max_gt, t.NUM_POINTS, t.VOC_SIZE)
         targets = {k: v[None] for k, v in targets.items()}
         metrics = trainer.step(images, targets)
@@ -319,11 +337,16 @@ def main():
             t0 = time.time()
             if mesh is None:
                 sample = next(it)
-                images, _ = normalize_clip(sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD)
+                raw = bool(cfg.TPU.TRAIN_UPLOAD_UINT8)
+                images, (h, w) = normalize_clip(
+                    sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD, raw=raw
+                )
+                hw = (np.tile(np.asarray([h, w], np.float32)[None], (len(images), 1))
+                      if raw else None)
                 targets = targets_from_sample(sample)
                 data_t += time.time() - t0
                 t0 = time.time()
-                metrics = trainer.step(images, None, targets)
+                metrics = trainer.step(images, hw, targets)
             else:
                 samples = [next(it) for _ in range(mesh.shape["data"])]
                 canvas = (
@@ -336,6 +359,7 @@ def main():
                     imgs, _ = normalize_clip(
                         s_, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD,
                         canvas=canvas, pad_t=t_max,
+                        raw=bool(cfg.TPU.TRAIN_UPLOAD_UINT8),
                     )
                     tg = targets_from_sample(sample=s_)
                     t_real = len(s_.images)
