@@ -71,6 +71,52 @@ def _emit(fps, extra=""):
     )
 
 
+def _host_contention():
+    """Measure host CPU contention before a timed pass. Returns (loadavg1,
+    probe_ms). This 1-core host runs the tracker/yuv-encode/wire work inline
+    with the bench; a concurrent pytest run measured 2.38 fps vs 12.6 idle
+    (PERF_NOTES round 4), so a loaded host silently poisons the record. The
+    probe times a fixed numpy workload (~60 ms idle): wall-time inflation
+    directly measures the slowdown the bench's own host phases will suffer."""
+    load1 = os.getloadavg()[0]
+    a = np.random.RandomState(0).rand(384, 384)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a = a @ a
+        a /= np.abs(a).max()
+    probe_ms = (time.perf_counter() - t0) * 1e3
+    return load1, probe_ms
+
+
+def _contention_guard(state):
+    """Annotate (and once, wait out) host contention. Records the idle-probe
+    baseline in .bench_state.json; declares the host loaded when the probe
+    runs >1.6x the recorded idle time AND loadavg > 1.5 (this process itself
+    contributes ~1). Returns a tag string for the stderr record."""
+    load1, probe_ms = _host_contention()
+    base = state.get("probe_idle_ms")
+    if base is None or probe_ms < base:
+        state["probe_idle_ms"] = probe_ms
+        _save_state(state)
+        base = probe_ms
+    loaded = probe_ms > 1.6 * base and load1 > 1.5
+    if loaded and not state.get("_waited") and _remaining() > 420.0:
+        state["_waited"] = True  # in-memory only: wait at most once per exec
+        print(f"# host loaded (loadavg {load1:.2f}, probe {probe_ms:.0f}ms vs "
+              f"idle {base:.0f}ms); waiting 120s for it to clear",
+              file=sys.stderr, flush=True)
+        time.sleep(120.0)
+        load1, probe_ms = _host_contention()
+        loaded = probe_ms > 1.6 * base and load1 > 1.5
+    tag = (f"host_load={load1:.2f} probe_ms={probe_ms:.0f} "
+           f"idle_ms={base:.0f} contended={loaded}")
+    if loaded:
+        print("# WARNING: host still contended — this pass underestimates "
+              "the chip (see PERF_NOTES round 4: 2.38 vs 12.6 fps)",
+              file=sys.stderr, flush=True)
+    return tag
+
+
 def _warmup_device():
     """Poke the accelerator with a trivial program before the multi-minute model
     compile. The tunneled TPU worker can be mid-restart after a previous client
@@ -209,7 +255,8 @@ def main():
         predictor.score_thresh = float(
             np.quantile(scores, 1.0 - 20.0 / scores.shape[1])
         )
-        _save_state({"key": state_key, "thresh": predictor.score_thresh})
+        state.update({"key": state_key, "thresh": predictor.score_thresh})
+        _save_state({k: v for k, v in state.items() if not k.startswith("_")})
 
     # warmup: run the EXACT measured workload once (spot program is already
     # built; this compiles the association/reid buckets at their real sizes —
@@ -223,6 +270,7 @@ def main():
     # first measured pass: the record is SECURED from here on — if the second
     # pass crashes, the except arm still emits this number (round 3's record
     # was lost to a timeout). Exactly ONE JSON line reaches stdout.
+    host_tag = _contention_guard(state)
     t0 = time.time()
     tc = {}
     tracked = predictor.process_video(frames, tc, window=bench_window)
@@ -232,7 +280,7 @@ def main():
     print(
         f"# pass1: frames={n_frames} batch={spot_batch} window={bench_window} "
         f"precision={precision} upload={upload} compile={compile_s:.0f}s "
-        f"inst/frame={n_inst:.1f} "
+        f"inst/frame={n_inst:.1f} {host_tag} "
         f"fps={fps:.2f} stage_times={ {k: round(v, 3) for k, v in tc.items()} }",
         file=sys.stderr, flush=True,
     )
@@ -241,12 +289,13 @@ def main():
     # lot run to run; both passes reuse the compiled programs)
     if _remaining() > 120.0:
         try:
+            host_tag = _contention_guard(state)
             t0 = time.time()
             tc2 = {}
             predictor.process_video(frames, tc2, window=bench_window)
             e2 = time.time() - t0
             print(
-                f"# pass2: fps={n_frames / e2:.2f} stage_times="
+                f"# pass2: fps={n_frames / e2:.2f} {host_tag} stage_times="
                 f"{ {k: round(v, 3) for k, v in tc2.items()} }",
                 file=sys.stderr, flush=True,
             )

@@ -442,6 +442,14 @@ def get_cfg() -> CfgNode:
     # bottleneck (e.g. a tunneled TPU at ~35 MB/s). Falls back to rgb for
     # odd frame dimensions.
     r.UPLOAD_FORMAT = "rgb"
+    # indexed association: keep the per-window reid embeddings resident on
+    # device as a row pool and ship the tracker's matcher requests as row
+    # INDICES (a few KB) instead of re-uploading (B, Npad, 1024) f32 feature
+    # tensors the device just produced (~3-4 MB per long-match round at the
+    # tunnel's ~35 MB/s), and skip the host reid fetch entirely. Bit-identical
+    # logits (the gathered rows are the same f32 values); disabled
+    # automatically under a mesh (sharded inference keeps the fetch path).
+    r.ASSOC_INDEXED = True
     # cross-window pipelining in process_video: 0 = strict spot-then-track;
     # 1 = overlap the next window's encode + host->device wire with the
     # current window's fetch + tracking (safe: compute ordering unchanged);

@@ -112,7 +112,39 @@ class VideoPredictor:
         self._concat_fns = {}  # n_chunks -> jitted device-side concat
         self.upload_format = getattr(cfg.TPU, "UPLOAD_FORMAT", "rgb")
         use_pos = not cfg.MODEL.ASSO_HEAD.NO_POS_EMB
-        if use_pos:
+        # indexed association (TPU.ASSOC_INDEXED): reid rows stay device-
+        # resident; the tracker ships row indices. Mesh inference keeps the
+        # fetch path (the pool would need explicit shardings).
+        self.assoc_indexed = bool(getattr(cfg.TPU, "ASSOC_INDEXED", True)) and mesh is None
+        self._pool = None  # device-resident (P, F) reid pool of the live window(s)
+        if self.assoc_indexed:
+            def make_rows_fn(short):
+                if use_pos:
+                    def fn(p, pool, rows, valid, bx, tm):
+                        toks = jnp.take(pool, rows, axis=0)
+                        return self.model.apply(
+                            p, toks, valid, short, False, bx, tm,
+                            method=GoMatchingModel.associate,
+                        )
+                else:
+                    def fn(p, pool, rows, valid):
+                        toks = jnp.take(pool, rows, axis=0)
+                        return self.model.apply(
+                            p, toks, valid, short, method=GoMatchingModel.associate
+                        )
+                return jax.jit(fn)
+
+            self._assoc_rows_short = make_rows_fn(True)
+            self._assoc_rows_long = make_rows_fn(False)
+            if use_pos:
+                def associate_fn(rows, valid, short_term, boxes=None, times=None):
+                    fn = self._assoc_rows_short if short_term else self._assoc_rows_long
+                    return fn(self.params, self._pool, rows, valid, boxes, times)
+            else:
+                def associate_fn(rows, valid, short_term):
+                    fn = self._assoc_rows_short if short_term else self._assoc_rows_long
+                    return fn(self.params, self._pool, rows, valid)
+        elif use_pos:
             self._assoc_short = jax.jit(
                 lambda p, toks, valid, bx, tm: self.model.apply(
                     p, toks, valid, True, False, bx, tm, method=GoMatchingModel.associate
@@ -155,6 +187,7 @@ class VideoPredictor:
             not_mult_thresh=v.NOT_MULT_THRESH,
             use_pos_emb=use_pos,
             with_temp_emb=cfg.MODEL.ASSO_HEAD.WITH_TEMP_EMB,
+            indexed=self.assoc_indexed,
         )
 
     def _load_or_init(self, cfg):
@@ -441,7 +474,17 @@ class VideoPredictor:
         valid_all = outs["valid"]
         pairs = np.argwhere(valid_all)  # (M, 2): (frame order, slot)
         M = len(pairs)
-        if M:
+        pool_new = None
+        if self.assoc_indexed:
+            # gather the valid slots' reid rows ON DEVICE and keep them there
+            # as the association pool (no host fetch; dispatch is async)
+            bucket = 1 << max(4, int(np.ceil(np.log2(max(M, 1)))))
+            idx = np.zeros((bucket, 2), np.int32)
+            if M:
+                idx[:M, 0] = np.asarray(frame_rows, np.int32)[pairs[:, 0]]
+                idx[:M, 1] = pairs[:, 1]
+            pool_new = self._gather_reid_fn(n_meta)(cat, jnp.asarray(idx))
+        elif M:
             bucket = 1 << max(4, int(np.ceil(np.log2(M))))
             idx = np.zeros((bucket, 2), np.int32)
             idx[:M, 0] = np.asarray(frame_rows, np.int32)[pairs[:, 0]]
@@ -455,9 +498,14 @@ class VideoPredictor:
         for i in range(len(frame_rows)):
             valid = valid_all[i]
             k = int(valid.sum())
-            reid = reid_rows[off : off + k] if M else np.zeros(
-                (0, int(cat.shape[2]) - n_meta), np.float32
-            )
+            if self.assoc_indexed:
+                reid = None
+                rows = np.arange(off, off + k, dtype=np.int64)
+            else:
+                reid = reid_rows[off : off + k] if M else np.zeros(
+                    (0, int(cat.shape[2]) - n_meta), np.float32
+                )
+                rows = None
             off += k
             dets.append(
                 FrameDetections(
@@ -468,10 +516,50 @@ class VideoPredictor:
                     bd=outs["bd"][i][valid],
                     reid=reid,
                     image_hw=(in_h, in_w),
+                    pool_rows=rows,
                 )
             )
+        if self.assoc_indexed:
+            self._adopt_pool(pool_new, dets)
         self._orig_hw = orig_hw
         return dets
+
+    def _adopt_pool(self, pool_new, dets):
+        """Swap the device reid pool to the new window's. Tracker frames still
+        inside the association window (the previous window's tail — short pairs
+        span 1 frame back, long windows up to TEST_LEN) get their rows
+        re-gathered into the head of the new pool so cross-window matcher
+        requests stay resolvable after the old pool is dropped. All device ops
+        are tiny async dispatches (no sync)."""
+        tail = [
+            f
+            for f in self.tracker.frames[-self.tracker.test_len :]
+            if f.pool_rows is not None and len(f)
+        ]
+        if self._pool is None or not tail:
+            self._pool = pool_new
+            return
+        rows_old = np.concatenate([f.pool_rows for f in tail]).astype(np.int32)
+        K = len(rows_old)
+        kpad = 1 << max(4, int(np.ceil(np.log2(max(K, 1)))))
+        idx = np.zeros((kpad,), np.int32)
+        idx[:K] = rows_old
+        take = self._concat_fns.get("pool_take")
+        if take is None:
+            take = jax.jit(lambda pool, i: jnp.take(pool, i, axis=0))
+            self._concat_fns["pool_take"] = take
+        cat0 = self._concat_fns.get("pool_cat")
+        if cat0 is None:
+            cat0 = jax.jit(lambda a, b: jnp.concatenate([a, b], axis=0))
+            self._concat_fns["pool_cat"] = cat0
+        tail_pool = take(self._pool, jnp.asarray(idx))
+        self._pool = cat0(tail_pool, pool_new)
+        off = 0
+        for f in tail:
+            f.pool_rows = np.arange(off, off + len(f), dtype=np.int64)
+            off += len(f)
+        for d in dets:
+            d.pool_rows = d.pool_rows + kpad
 
     def process_video(self, frames, time_cost: Optional[Dict] = None,
                       window: int = 100):
@@ -490,6 +578,7 @@ class VideoPredictor:
         """
         tc = time_cost if time_cost is not None else {}
         self.tracker.reset()
+        self._pool = None
         # cross-window pipelining (TPU.PIPELINE_WINDOWS): 0 = strict
         # spot-then-track sequencing; 1 = the NEXT window's encode +
         # device_put are issued before the current window's fetch/track, so

@@ -51,6 +51,9 @@ class FrameDetections:
     reid: Optional[np.ndarray]  # (n, F); dropped once the frame leaves the window
     track_ids: np.ndarray = field(default=None)  # (n,)
     image_hw: tuple = (0, 0)
+    # indexed-association mode: row ids into the predictor's device-resident
+    # reid pool (reid embeddings then never leave the device; ``reid`` is None)
+    pool_rows: Optional[np.ndarray] = None
 
     def __len__(self):
         return len(self.scores)
@@ -77,6 +80,13 @@ class Tracker:
 
     ``associate_fn(reid_padded (1, Npad, F), valid (1, Npad), short_term)`` must
     return (1, Npad, Npad) affinity logits (the jitted LSTMatcherHead.associate).
+
+    With ``indexed=True`` the reid embeddings never leave the device:
+    detections carry ``pool_rows`` (row ids into a device-resident reid pool)
+    and ``associate_fn(rows (B, Npad) int32, valid, short_term, ...)`` gathers
+    the tokens on device — the host ships a few KB of indices instead of
+    re-uploading (B, Npad, 1024) f32 features it just computed there
+    (~4 MB/call at the tunnel's ~35 MB/s was most of the long-match wall).
     """
 
     def __init__(
@@ -91,8 +101,10 @@ class Tracker:
         not_mult_thresh: bool = True,
         use_pos_emb: bool = False,
         with_temp_emb: bool = False,
+        indexed: bool = False,
     ):
         self.associate_fn = associate_fn
+        self.indexed = indexed
         self.test_len = test_len
         self.overlap_thresh = overlap_thresh
         self.min_track_len = min_track_len
@@ -122,10 +134,15 @@ class Tracker:
         return activated (n_query_frame, N) scores for the *last* frame's rows."""
         n_t = [len(f) for f in frames]
         N = sum(n_t)
-        feats = np.concatenate([f.reid for f in frames], axis=0).astype(np.float32)
         npad = _bucket(max(N, 1))
-        padded = np.zeros((1, npad, feats.shape[1]), np.float32)
-        padded[0, :N] = feats
+        if self.indexed:
+            rows = np.concatenate([f.pool_rows for f in frames]).astype(np.int32)
+            padded = np.zeros((1, npad), np.int32)
+            padded[0, :N] = rows
+        else:
+            feats = np.concatenate([f.reid for f in frames], axis=0).astype(np.float32)
+            padded = np.zeros((1, npad, feats.shape[1]), np.float32)
+            padded[0, :N] = feats
         valid = np.zeros((1, npad), bool)
         valid[0, :N] = True
         if self.use_pos_emb:
@@ -231,12 +248,20 @@ class Tracker:
             return {}
         npad = _bucket(max(len(p) + len(c) for p, c in pairs))
         B = len(pairs)
-        feats = np.zeros((B, npad, pairs[0][0].reid.shape[1] if pairs[0][0].reid is not None else pairs[0][1].reid.shape[1]), np.float32)
-        valid = np.zeros((B, npad), bool)
-        for i, (p, c) in enumerate(pairs):
-            f = np.concatenate([p.reid, c.reid], axis=0).astype(np.float32)
-            feats[i, : len(f)] = f
-            valid[i, : len(f)] = True
+        if self.indexed:
+            feats = np.zeros((B, npad), np.int32)
+            valid = np.zeros((B, npad), bool)
+            for i, (p, c) in enumerate(pairs):
+                r = np.concatenate([p.pool_rows, c.pool_rows]).astype(np.int32)
+                feats[i, : len(r)] = r
+                valid[i, : len(r)] = True
+        else:
+            feats = np.zeros((B, npad, pairs[0][0].reid.shape[1] if pairs[0][0].reid is not None else pairs[0][1].reid.shape[1]), np.float32)
+            valid = np.zeros((B, npad), bool)
+            for i, (p, c) in enumerate(pairs):
+                f = np.concatenate([p.reid, c.reid], axis=0).astype(np.float32)
+                feats[i, : len(f)] = f
+                valid[i, : len(f)] = True
         if self.use_pos_emb:
             pts = [self._pos_inputs([p, c], npad) for p, c in pairs]
             boxes = np.stack([b for b, _ in pts])
@@ -300,6 +325,7 @@ class Tracker:
             sdet = FrameDetections(
                 boxes=det.boxes, scores=det.scores, ctrl_points=det.ctrl_points,
                 recs=det.recs, bd=det.bd, reid=det.reid, image_hw=det.image_hw,
+                pool_rows=det.pool_rows,
             )
             cached = short_cache.get(id(det))
             frame_id = len(sim_frames)
@@ -370,9 +396,14 @@ class Tracker:
             if key not in seen:
                 seen.add(key)
                 n_t = [int(k.sum()) for k in keeps]
-                feats = np.concatenate(
-                    [f.reid[kp] for f, kp in zip(window, keeps)], axis=0
-                ).astype(np.float32)
+                if self.indexed:
+                    feats = np.concatenate(
+                        [f.pool_rows[kp] for f, kp in zip(window, keeps)]
+                    ).astype(np.int32)
+                else:
+                    feats = np.concatenate(
+                        [f.reid[kp] for f, kp in zip(window, keeps)], axis=0
+                    ).astype(np.float32)
                 pos_frames = None
                 if self.use_pos_emb:
                     pos_frames = [
@@ -394,7 +425,6 @@ class Tracker:
 
     def _batch_long_requests(self, requests):
         npad = _bucket(max(sum(n_t) for _, n_t, _, _ in requests))
-        F = requests[0][2].shape[1]
         # chunk the batch to bound memory and pad the chunk size to a bucket to
         # bound recompiles; dispatch everything, then sync once per chunk
         chunk = 32
@@ -404,7 +434,10 @@ class Tracker:
             Bc = 1
             while Bc < len(reqs):
                 Bc *= 2
-            feats = np.zeros((Bc, npad, F), np.float32)
+            if self.indexed:
+                feats = np.zeros((Bc, npad), np.int32)
+            else:
+                feats = np.zeros((Bc, npad, requests[0][2].shape[1]), np.float32)
             valid = np.zeros((Bc, npad), bool)
             valid[len(reqs) :, 0] = True  # keep padded entries' softmax finite
             for i, (_, n_t, f, _) in enumerate(reqs):
@@ -481,9 +514,10 @@ class Tracker:
                     ctrl_points=f.ctrl_points[kp],
                     recs=f.recs[kp],
                     bd=f.bd[kp],
-                    reid=f.reid[kp],
+                    reid=None if f.reid is None else f.reid[kp],
                     track_ids=f.track_ids[kp],
                     image_hw=f.image_hw,
+                    pool_rows=None if f.pool_rows is None else f.pool_rows[kp],
                 )
             )
         n_t = [len(f) for f in sub]
@@ -564,4 +598,6 @@ class Tracker:
             f.track_ids = f.track_ids[kp]
             if f.reid is not None:
                 f.reid = f.reid[kp]
+            if f.pool_rows is not None:
+                f.pool_rows = f.pool_rows[kp]
         return self.frames

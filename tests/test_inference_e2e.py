@@ -84,8 +84,11 @@ def test_empty_detections(predictor):
     frames = [rng.randint(0, 255, (96, 128, 3), dtype=np.uint8) for _ in range(3)]
     dets = predictor.spot_frames(frames)
     for d in dets:  # emulate nothing passing the threshold
-        for f in ("boxes", "scores", "ctrl_points", "recs", "bd", "reid"):
-            setattr(d, f, getattr(d, f)[:0])
+        for f in ("boxes", "scores", "ctrl_points", "recs", "bd", "reid",
+                  "pool_rows"):
+            v = getattr(d, f)
+            if v is not None:  # reid/pool_rows: exactly one is None per mode
+                setattr(d, f, v[:0])
     predictor.tracker.reset()
     for d in dets:
         predictor.tracker.step(d)
