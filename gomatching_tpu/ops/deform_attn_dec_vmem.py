@@ -189,20 +189,25 @@ def _fwd_impl(spatial_shapes, block, query_block, interpret,
         g.reshape(B, M, g.shape[2] * g.shape[3], D).astype(out_dtype) for g in grids
     ]
 
+    # grid (B, M, nQ): query blocks innermost, like the backward — the
+    # (b, m) level-grid blocks then keep a CONSTANT index across the inner
+    # dim, so Mosaic skips their re-DMA for all but the first query block
+    # (the fp windows are ~2.4 MB per (b, m); the (nQ, B, M) order re-shipped
+    # them every step)
     qspec = pl.BlockSpec(
-        (None, None, None, L, P, Qb), lambda q_, b_, m_: (q_, b_, m_, 0, 0, 0)
+        (None, None, None, L, P, Qb), lambda b_, m_, q_: (q_, b_, m_, 0, 0, 0)
     )
     fp_specs = [
-        pl.BlockSpec((None, None, fh * fw, D), lambda q_, b_, m_: (b_, m_, 0, 0))
+        pl.BlockSpec((None, None, fh * fw, D), lambda b_, m_, q_: (b_, m_, 0, 0))
         for fh, fw in geom
     ]
     out_spec = pl.BlockSpec(
-        (None, None, None, Qb, D), lambda q_, b_, m_: (q_, b_, m_, 0, 0)
+        (None, None, None, Qb, D), lambda b_, m_, q_: (q_, b_, m_, 0, 0)
     )
     kern = functools.partial(_kernel, geom=geom, P=P, Qb=Qb, D=D, out_dtype=out_dtype)
     out = pl.pallas_call(
         kern,
-        grid=(nQ, B, M),
+        grid=(B, M, nQ),
         in_specs=[qspec, qspec, qspec] + fp_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nQ, B, M, Qb, D), out_dtype),
