@@ -465,6 +465,19 @@ def get_cfg() -> CfgNode:
     # host normalize-then-pad path exactly. False keeps the host-side f32
     # normalize (bit-identical when source pixels are integral either way).
     r.TRAIN_UPLOAD_UINT8 = True
+    # training clip wire format: 'rgb' ships raw uint8 (reference-parity
+    # numerics), 'yuv420' ships planar I420 (half the bytes; same codec and
+    # error bound as UPLOAD_FORMAT=yuv420 — the sources are 4:2:0 at origin).
+    # Needs TRAIN_UPLOAD_UINT8 and even frame dims; falls back to rgb
+    # otherwise. Production-throughput knob: with double-buffered uploads
+    # the training step is upload-bound, and halving the wire bytes moves it
+    # to compute-bound (PERF_NOTES round 5).
+    r.TRAIN_UPLOAD_FORMAT = "rgb"
+    # double-buffered training uploads: decode + dispatch clip i+1's
+    # host->device transfer while the device runs step i, and defer the
+    # metrics fetch by one iteration (engine/train.py step_begin/step_finish).
+    # Numerics identical to the sequential loop — only dispatch order changes.
+    r.TRAIN_OVERLAP_UPLOAD = True
     c.TPU = r
 
     return c

@@ -60,6 +60,20 @@ def normalize_wire_frames(images, pixel_mean, pixel_std, image_hw=None):
     return x
 
 
+def encode_train_clip(images_u8: np.ndarray, input_format: str = "RGB"):
+    """HOST: raw uint8 clip (B, H, W, 3) -> planar I420 (B, H*3//2, W) for the
+    TPU.TRAIN_UPLOAD_FORMAT=yuv420 wire (half the tunnel bytes; decoded
+    in-graph by ``Trainer._spot_fn``). Returns the clip unchanged when a dim
+    is odd — the device decode is keyed on ndim, so the fallback is safe."""
+    h, w = images_u8.shape[1:3]
+    if h % 2 or w % 2:
+        return images_u8
+    from ..data.preprocess import encode_i420
+
+    x = images_u8[..., ::-1] if input_format == "RGB" else images_u8
+    return encode_i420(np.ascontiguousarray(x))
+
+
 def split_params(params, freeze_type: str = "ExceptROIheads"):
     """Partition the param tree into (trainable, frozen) per the named freeze
     policy (gomatching/modeling/freeze_layers.py:139-172). In JAX, freezing is
@@ -137,6 +151,13 @@ def unpack_host_batch(flat: jnp.ndarray, meta) -> Dict[str, jnp.ndarray]:
         out[k] = x.astype(dt)
         pos += n
     return out
+
+
+def fetch_metrics(pending) -> Dict[str, float]:
+    """Materialize a deferred metrics handle from ``Trainer.step_finish(...,
+    blocking=False)`` — one device fetch for the whole stacked vector."""
+    keys, packed = pending
+    return dict(zip(keys, np.asarray(packed, np.float32).tolist()))
 
 
 def warmup_cosine_schedule(base_lr: float, max_iter: int, warmup_iters: int = 1000,
@@ -222,6 +243,20 @@ class Trainer:
         self.model = model
         self.mesh = mesh
         trainable, frozen = split_params(params, cfg.MODEL.FREEZE_TYPE)
+        # MODEL.PRECISION=bfloat16 runs the FROZEN spotter forward in bf16,
+        # exactly like production inference (predictor.cast_frozen_params):
+        # the spot phase is pure frozen MXU work and stop_gradient'ed, so
+        # bf16 halves its time without touching optimizer numerics (the
+        # trainable roi_heads subtree stays f32). ``frozen_f32`` keeps the
+        # original-precision copy for checkpointing.
+        self.frozen_f32 = None
+        if cfg.MODEL.PRECISION == "bfloat16":
+            self.frozen_f32 = frozen
+            frozen = {
+                k: (jax.tree.map(lambda x: x.astype(jnp.bfloat16), v)
+                    if k in ("backbone", "detection_transformer") else v)
+                for k, v in frozen.items()
+            }
         self.tx, self.schedule = build_optimizer(cfg)
         self.state = TrainState(
             trainable=trainable,
@@ -249,6 +284,7 @@ class Trainer:
         self.with_temp_emb = model.asso_with_temp_emb
         self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
         self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+        self.input_format = cfg.INPUT.FORMAT  # channel order of rgb-wire clips
         self.phase_t: Dict[str, float] = {}  # last step's wall-time split
 
         self._spot = jax.jit(self._spot_fn)
@@ -256,8 +292,23 @@ class Trainer:
         self._packed_updates: Dict[Any, Any] = {}  # batch meta -> jitted update
 
     # ------------------------------------------------------------------
+    def _decode_wire(self, images, image_hw):
+        """Planar I420 training wire (B, H*3//2, W) uint8 -> normalized f32
+        frames: device-side decode (same codec as the inference wire,
+        data/preprocess.py decode_i420, returns BGR in [0, 255]), channel
+        order to INPUT.FORMAT, then normalize + re-zero padding."""
+        from ..data.preprocess import decode_i420
+
+        x = decode_i420(images)
+        if self.input_format == "RGB":
+            x = x[..., ::-1]
+        return normalize_wire_frames(x, self.pixel_mean, self.pixel_std, image_hw)
+
     def _spot_fn(self, frozen, trainable, images, image_hw):
-        if images.dtype == jnp.uint8:
+        if images.ndim == 3:
+            # yuv420 wire (TPU.TRAIN_UPLOAD_FORMAT): decode + normalize
+            images = self._decode_wire(images, image_hw)
+        elif images.dtype == jnp.uint8:
             # raw wire format (TPU.TRAIN_UPLOAD_UINT8): normalize + re-zero
             # padding in-graph; dtype is static so the f32 path is untouched
             images = normalize_wire_frames(
@@ -493,6 +544,66 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------------
+    def put_clip(self, images: np.ndarray):
+        """Dispatch the clip's host->device transfer NOW (async). The
+        overlapped train loop uploads clip i+1 while the device runs step i
+        (tools/probe_upload_overlap.py measures whether the runtime overlaps
+        the wire with compute on this worker)."""
+        return jax.device_put(images, jax.devices()[0])
+
+    def step_begin(self, images, image_hw) -> None:
+        """Phase 1 of a step: dispatch the frozen spot forward. Non-blocking —
+        the caller may do host work (decode/upload the next clip) before
+        calling ``step_finish``, which blocks on the packed meta fetch."""
+        self._t_begin = time.perf_counter()
+        self._pending_spot = self._spot(
+            self.state.frozen, self.state.trainable, images, image_hw
+        )
+
+    def step_finish(self, targets: Dict, blocking: bool = True):
+        """Phases 2+3: fetch spot meta, host Hungarian/GT phase, dispatch the
+        packed update. ``blocking=False`` returns the metrics as device
+        scalars WITHOUT waiting for the update to execute — the overlapped
+        loop fetches them one iteration later, after the next step's spot is
+        already in the device queue."""
+        spot_out, self._pending_spot = self._pending_spot, None
+        t0 = self._t_begin
+        host = unpack_spot_meta(np.asarray(spot_out["host_meta"]))
+        t1 = time.perf_counter()
+        batch = self.prepare_batch(host, targets)
+        flat, meta = pack_host_batch(batch)
+        t2 = time.perf_counter()
+        entry = self._packed_updates.get(meta)
+        if entry is None:
+            keybox: list = []  # metric-name order, captured at trace time
+
+            def upd(state, flat, qf, _meta=meta, _kb=keybox):
+                b = unpack_host_batch(flat, _meta)
+                b["query_features"] = qf
+                ns, m = self._update_fn(state, b)
+                ks = tuple(sorted(m))
+                if not _kb:
+                    _kb.append(ks)
+                # metrics leave the device as ONE stacked f32 vector — a
+                # per-key float() fetch costs one tunnel RPC each
+                return ns, jnp.stack([m[k].astype(jnp.float32) for k in ks])
+
+            entry = self._packed_updates.setdefault(meta, (jax.jit(upd), keybox))
+        fn, keybox = entry
+        self.state, packed = fn(self.state, flat, spot_out["query_features"])
+        keys = keybox[0] if keybox else ()
+        out = (
+            dict(zip(keys, np.asarray(packed, np.float32).tolist()))
+            if blocking
+            else (keys, packed)
+        )
+        t3 = time.perf_counter()
+        # phase wall-times of the LAST step (tools/bench_train.py breakdown):
+        # spot = upload+spot jit+meta fetch; host = Hungarian/GT numpy phase;
+        # update = packed upload + matcher fwd/bwd/Adam + metrics fetch
+        self.phase_t = {"spot": t1 - t0, "host": t2 - t1, "update": t3 - t2}
+        return out
+
     def step(self, images: np.ndarray, image_hw, targets: Dict) -> Dict[str, float]:
         """One full training iteration on one clip.
 
@@ -500,29 +611,8 @@ class Trainer:
         packed host_meta fetched in ONE RPC; query_features stays device-
         resident; the host-built targets go back up as ONE packed f32 upload
         unpacked inside the update jit."""
-        t0 = time.perf_counter()
-        spot_out = self._spot(self.state.frozen, self.state.trainable, images, image_hw)
-        host = unpack_spot_meta(np.asarray(spot_out["host_meta"]))
-        t1 = time.perf_counter()
-        batch = self.prepare_batch(host, targets)
-        flat, meta = pack_host_batch(batch)
-        t2 = time.perf_counter()
-        fn = self._packed_updates.get(meta)
-        if fn is None:
-            def upd(state, flat, qf, _meta=meta):
-                b = unpack_host_batch(flat, _meta)
-                b["query_features"] = qf
-                return self._update_fn(state, b)
-
-            fn = self._packed_updates.setdefault(meta, jax.jit(upd))
-        self.state, metrics = fn(self.state, flat, spot_out["query_features"])
-        out = {k: float(v) for k, v in metrics.items()}
-        t3 = time.perf_counter()
-        # phase wall-times of the LAST step (tools/bench_train.py breakdown):
-        # spot = upload+spot jit+meta fetch; host = Hungarian/GT numpy phase;
-        # update = packed upload + matcher fwd/bwd/Adam + metrics fetch
-        self.phase_t = {"spot": t1 - t0, "host": t2 - t1, "update": t3 - t2}
-        return out
+        self.step_begin(images, image_hw)
+        return self.step_finish(targets)
 
     # ------------------------------------------------------------------
     # SPMD data-parallel path: one clip per mesh 'data' slot per iteration —

@@ -63,9 +63,9 @@ def synth_clip(rng, t, h, w, npts=25, n_inst=8):
     }
 
 
-def bench_tracker(cfg, iters, frames, size, rng):
+def bench_tracker(cfg, iters, frames, size, rng, overlap=False):
     from gomatching_tpu.engine.predictor import init_params
-    from gomatching_tpu.engine.train import Trainer
+    from gomatching_tpu.engine.train import Trainer, fetch_metrics
     from gomatching_tpu.models.gomatching import build_model
 
     model = build_model(cfg)
@@ -75,6 +75,10 @@ def bench_tracker(cfg, iters, frames, size, rng):
     images, targets = synth_clip(
         rng, frames, h, w, npts=cfg.MODEL.TRANSFORMER.NUM_POINTS
     )
+    if cfg.TPU.TRAIN_UPLOAD_FORMAT == "yuv420":
+        from gomatching_tpu.engine.train import encode_train_clip
+
+        images = encode_train_clip(images, cfg.INPUT.FORMAT)
     hw = np.tile(np.asarray([h, w], np.float32)[None], (frames, 1))
 
     import jax
@@ -82,6 +86,29 @@ def bench_tracker(cfg, iters, frames, size, rng):
     t0 = time.time()
     trainer.step(images, hw, targets)
     compile_s = time.time() - t0
+
+    if overlap:
+        # steady-state of the train_net.py double-buffered loop: clip i+1's
+        # upload rides the device's step-i compute; metrics fetched one iter
+        # late as one stacked vector
+        trainer.step_begin(trainer.put_clip(images), hw)
+        pending, wall = None, []
+        for _ in range(iters):
+            t0 = time.time()
+            dev_next = trainer.put_clip(images)
+            if pending is not None:
+                m = fetch_metrics(pending)
+            pending = trainer.step_finish(targets, blocking=False)
+            trainer.step_begin(dev_next, hw)
+            wall.append(time.time() - t0)
+        m = fetch_metrics(pending)
+        sec = float(np.median(wall))
+        print(f"# tracker step [overlap]: compile {compile_s:.0f}s; median "
+              f"{sec * 1e3:.0f} ms/iter (min {min(wall) * 1e3:.0f}, "
+              f"max {max(wall) * 1e3:.0f}); loss {m['total_loss']:.3f}")
+        print(f"# projected 30k iters: {sec * 30000 / 3600:.2f} h  "
+              f"(reference: ~3 h on 1x RTX 3090, README.md:24)")
+        return sec
     times, up_times, phases = [], [], []
     for _ in range(iters):
         t0 = time.time()
@@ -167,6 +194,9 @@ def main():
                     "short-side 640-896, GoMatching_ICDAR15.yaml)")
     ap.add_argument("--frames", type=int, default=4,
                     help="clip length (INPUT.VIDEO.TRAIN_LEN default 4)")
+    ap.add_argument("--overlap", action="store_true",
+                    help="measure the double-buffered (train_net.py overlap) "
+                    "loop steady state instead of the sequential step")
     ap.add_argument("--pretrain", action="store_true")
     ap.add_argument("--impl", default="both", choices=("tiled", "vmem", "both"))
     ap.add_argument("--cpu", action="store_true")
@@ -189,7 +219,8 @@ def main():
         impls = ("tiled", "vmem") if args.impl == "both" else (args.impl,)
         bench_pretrain(cfg, impls, args.iters, args.size, rng)
     else:
-        bench_tracker(cfg, args.iters, args.frames, args.size, rng)
+        bench_tracker(cfg, args.iters, args.frames, args.size, rng,
+                      overlap=args.overlap)
 
 
 if __name__ == "__main__":

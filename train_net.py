@@ -332,18 +332,109 @@ def main():
     it = iter(loader)
     data_t, step_t = 0.0, 0.0
     log_every = 20
+    raw = bool(cfg.TPU.TRAIN_UPLOAD_UINT8)
+    # double-buffered uploads: decode + ship clip i+1 while the device runs
+    # step i, and fetch metrics one iteration late (one RPC for the stacked
+    # vector). Numerically identical to the sequential loop.
+    overlap = mesh is None and bool(cfg.TPU.TRAIN_OVERLAP_UPLOAD)
+
+    def prep_clip():
+        sample = next(it)
+        images, (h, w) = normalize_clip(
+            sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD, raw=raw
+        )
+        hw = (np.tile(np.asarray([h, w], np.float32)[None], (len(images), 1))
+              if raw else None)
+        if raw and cfg.TPU.TRAIN_UPLOAD_FORMAT == "yuv420":
+            from gomatching_tpu.engine.train import encode_train_clip
+
+            images = encode_train_clip(images, cfg.INPUT.FORMAT)
+        return images, hw, targets_from_sample(sample)
+
     with open(metrics_path, "a") as mf:
+        def record(idx, metrics):
+            nonlocal data_t, step_t
+            assert np.isfinite(metrics["total_loss"]), \
+                f"loss diverged at iter {idx}: {metrics}"
+            if (idx + 1) % log_every != 0:
+                return
+            lr = float(trainer.schedule(idx))
+            line = {
+                "iteration": idx + 1,
+                "lr": lr,
+                "data_time": data_t / log_every,
+                "time": step_t / log_every,
+                **metrics,
+            }
+            mf.write(json.dumps(line) + "\n")
+            mf.flush()
+            if tb is not None:
+                for k, v in line.items():
+                    if isinstance(v, (int, float)):
+                        tb.add_scalar(k, v, idx + 1)
+            print(
+                f"iter {idx + 1}/{max_iter} loss {metrics['total_loss']:.4f} "
+                f"res {metrics.get('loss_res', 0):.4f} long {metrics['loss_long_asso']:.4f} "
+                f"short {metrics['loss_short_asso']:.4f} lr {lr:.2e} "
+                f"({step_t / log_every:.2f}s/it, data {data_t / log_every:.2f}s)"
+            )
+            data_t, step_t = 0.0, 0.0
+
+        def maybe_checkpoint(idx):
+            if (idx + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (idx + 1) == max_iter:
+                from gomatching_tpu.engine.checkpoint import save_params, save_train_state
+                from gomatching_tpu.engine.train import merge_params
+
+                save_params(
+                    os.path.join(ckpt_dir, f"model_{idx + 1:07d}_rescore.npz"),
+                    merge_params(
+                        trainer.state.trainable,
+                        trainer.frozen_f32
+                        if trainer.frozen_f32 is not None
+                        else trainer.state.frozen,
+                    ),
+                )
+                save_train_state(
+                    ckpt_dir,
+                    idx + 1,
+                    {
+                        "trainable": trainer.state.trainable,
+                        "opt_state": trainer.state.opt_state,
+                    },
+                )
+                print(f"saved checkpoint at iter {idx + 1}")
+
+        pending = None  # (iter idx, deferred metrics handle) — overlap mode
+        nxt = None  # prefetched (device images, hw, targets)
+        if overlap and max_iter > start_iter:
+            from gomatching_tpu.engine.train import fetch_metrics
+
+            t0 = time.time()
+            imgs, hw0, tgts0 = prep_clip()
+            nxt = (trainer.put_clip(imgs), hw0, tgts0)
+            data_t += time.time() - t0
         for i in range(start_iter, max_iter):
             t0 = time.time()
+            if overlap:
+                dev_images, hw, targets = nxt
+                trainer.step_begin(dev_images, hw)
+                # device busy with the spot forward: drain last iter's
+                # metrics, then decode + upload the NEXT clip over the wire
+                if pending is not None:
+                    record(pending[0], fetch_metrics(pending[1]))
+                    pending = None
+                td0 = time.time()
+                if i + 1 < max_iter:
+                    imgs, hw2, tgts2 = prep_clip()
+                    nxt = (trainer.put_clip(imgs), hw2, tgts2)
+                td = time.time() - td0
+                pending = (i, trainer.step_finish(targets, blocking=False))
+                maybe_checkpoint(i)
+                data_t += td
+                step_t += time.time() - t0 - td
+                continue
             if mesh is None:
-                sample = next(it)
-                raw = bool(cfg.TPU.TRAIN_UPLOAD_UINT8)
-                images, (h, w) = normalize_clip(
-                    sample, cfg.MODEL.PIXEL_MEAN, cfg.MODEL.PIXEL_STD, raw=raw
-                )
-                hw = (np.tile(np.asarray([h, w], np.float32)[None], (len(images), 1))
-                      if raw else None)
-                targets = targets_from_sample(sample)
+                images, hw, targets = prep_clip()
                 data_t += time.time() - t0
                 t0 = time.time()
                 metrics = trainer.step(images, hw, targets)
@@ -376,46 +467,12 @@ def main():
                 t0 = time.time()
                 metrics = trainer.step_multi(clips)
             step_t += time.time() - t0
-            assert np.isfinite(metrics["total_loss"]), f"loss diverged at iter {i}: {metrics}"
-            if (i + 1) % log_every == 0:
-                lr = float(trainer.schedule(i))
-                line = {
-                    "iteration": i + 1,
-                    "lr": lr,
-                    "data_time": data_t / log_every,
-                    "time": step_t / log_every,
-                    **metrics,
-                }
-                mf.write(json.dumps(line) + "\n")
-                mf.flush()
-                if tb is not None:
-                    for k, v in line.items():
-                        if isinstance(v, (int, float)):
-                            tb.add_scalar(k, v, i + 1)
-                print(
-                    f"iter {i + 1}/{max_iter} loss {metrics['total_loss']:.4f} "
-                    f"res {metrics.get('loss_res', 0):.4f} long {metrics['loss_long_asso']:.4f} "
-                    f"short {metrics['loss_short_asso']:.4f} lr {lr:.2e} "
-                    f"({step_t / log_every:.2f}s/it, data {data_t / log_every:.2f}s)"
-                )
-                data_t, step_t = 0.0, 0.0
-            if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (i + 1) == max_iter:
-                from gomatching_tpu.engine.checkpoint import save_params, save_train_state
-                from gomatching_tpu.engine.train import merge_params
+            record(i, metrics)
+            maybe_checkpoint(i)
+        if pending is not None:
+            from gomatching_tpu.engine.train import fetch_metrics
 
-                save_params(
-                    os.path.join(ckpt_dir, f"model_{i + 1:07d}_rescore.npz"),
-                    merge_params(trainer.state.trainable, trainer.state.frozen),
-                )
-                save_train_state(
-                    ckpt_dir,
-                    i + 1,
-                    {
-                        "trainable": trainer.state.trainable,
-                        "opt_state": trainer.state.opt_state,
-                    },
-                )
-                print(f"saved checkpoint at iter {i + 1}")
+            record(pending[0], fetch_metrics(pending[1]))
 
 
 if __name__ == "__main__":
