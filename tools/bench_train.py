@@ -87,28 +87,6 @@ def bench_tracker(cfg, iters, frames, size, rng, overlap=False):
     trainer.step(images, hw, targets)
     compile_s = time.time() - t0
 
-    if overlap:
-        # steady-state of the train_net.py double-buffered loop: clip i+1's
-        # upload rides the device's step-i compute; metrics fetched one iter
-        # late as one stacked vector
-        trainer.step_begin(trainer.put_clip(images), hw)
-        pending, wall = None, []
-        for _ in range(iters):
-            t0 = time.time()
-            dev_next = trainer.put_clip(images)
-            if pending is not None:
-                m = fetch_metrics(pending)
-            pending = trainer.step_finish(targets, blocking=False)
-            trainer.step_begin(dev_next, hw)
-            wall.append(time.time() - t0)
-        m = fetch_metrics(pending)
-        sec = float(np.median(wall))
-        print(f"# tracker step [overlap]: compile {compile_s:.0f}s; median "
-              f"{sec * 1e3:.0f} ms/iter (min {min(wall) * 1e3:.0f}, "
-              f"max {max(wall) * 1e3:.0f}); loss {m['total_loss']:.3f}")
-        print(f"# projected 30k iters: {sec * 30000 / 3600:.2f} h  "
-              f"(reference: ~3 h on 1x RTX 3090, README.md:24)")
-        return sec
     times, up_times, phases = [], [], []
     for _ in range(iters):
         t0 = time.time()
@@ -133,6 +111,28 @@ def bench_tracker(cfg, iters, frames, size, rng, overlap=False):
           f"update {med('update'):.0f} ms")
     print(f"# projected 30k iters: {total_h:.2f} h  "
           f"(reference: ~3 h on 1x RTX 3090, README.md:24)")
+    if overlap:
+        # steady-state of the train_net.py double-buffered loop (measured in
+        # the SAME process so the compile above is reused): clip i+1's
+        # upload rides the device's step-i compute; metrics fetched one iter
+        # late as one stacked vector
+        trainer.step_begin(trainer.put_clip(images), hw)
+        pending, wall = None, []
+        for _ in range(iters):
+            t0 = time.time()
+            dev_next = trainer.put_clip(images)
+            if pending is not None:
+                m = fetch_metrics(pending)
+            pending = trainer.step_finish(targets, blocking=False)
+            trainer.step_begin(dev_next, hw)
+            wall.append(time.time() - t0)
+        m = fetch_metrics(pending)
+        sec = float(np.median(wall))
+        print(f"# tracker step [overlap]: median {sec * 1e3:.0f} ms/iter "
+              f"(min {min(wall) * 1e3:.0f}, max {max(wall) * 1e3:.0f}); "
+              f"loss {m['total_loss']:.3f}")
+        print(f"# projected 30k iters [overlap]: {sec * 30000 / 3600:.2f} h  "
+              f"(reference: ~3 h on 1x RTX 3090, README.md:24)")
     return sec
 
 
