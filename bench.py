@@ -167,6 +167,7 @@ def main():
     # smaller windows engage TPU.PIPELINE_WINDOWS overlap across windows)
     bench_window = int(os.environ.get("BENCH_WINDOW", "100"))
     spot_batch = int(os.environ.get("BENCH_BATCH", "3"))
+    spot_super = int(os.environ.get("BENCH_SUPER", "0"))  # 0 = config default
     precision = os.environ.get("BENCH_PRECISION", "bfloat16")
     impl = os.environ.get("BENCH_IMPL", "")  # override TPU.SAMPLING_IMPL
     # production ingestion default: planar I420 frames (half the upload bytes;
@@ -201,7 +202,8 @@ def main():
             "MODEL.PRECISION", precision,
             "TPU.UPLOAD_FORMAT", upload,
         ]
-        + (["TPU.SAMPLING_IMPL", impl] if impl else []),
+        + (["TPU.SAMPLING_IMPL", impl] if impl else [])
+        + (["TPU.SPOT_SUPER", str(spot_super)] if spot_super else []),
     )
     predictor = VideoPredictor(cfg)
 
@@ -225,7 +227,8 @@ def main():
         ).stdout.strip()
     except Exception:  # noqa: BLE001
         head = "unknown"
-    state_key = f"{head}|{spot_batch}|{precision}|{upload}|{impl}|{n_frames}"
+    state_key = (f"{head}|{spot_batch}|{precision}|{upload}|{impl}|{n_frames}"
+                 f"|{spot_super}")
     state = _load_state()
     t0 = time.time()
     if state.get("key") == state_key and "thresh" in state:
@@ -258,11 +261,17 @@ def main():
         state.update({"key": state_key, "thresh": predictor.score_thresh})
         _save_state({k: v for k, v in state.items() if not k.startswith("_")})
 
-    # warmup: run the EXACT measured workload once (spot program is already
+    # warmup: run the EXACT measured workload (spot program is already
     # built; this compiles the association/reid buckets at their real sizes —
     # a short warmup left short/long-match compiles inside pass 1, which
-    # measured 2.4 fps where pass 2 hit 10.3)
-    if _remaining() > 300.0:
+    # measured 2.4 fps where pass 2 hit 10.3). Twice when the budget allows:
+    # the first steady-state pass still pays one-off host costs (allocator
+    # growth, page faults on the big wire buffers) worth ~10-15% — two
+    # warmups make pass 1 representative even if the driver only records it.
+    if _remaining() > 420.0:
+        predictor.process_video(frames, window=bench_window)
+        predictor.process_video(frames, window=bench_window)
+    elif _remaining() > 300.0:
         predictor.process_video(frames, window=bench_window)
     else:
         predictor.process_video(frames[: 2 * spot_batch])

@@ -450,6 +450,18 @@ def get_cfg() -> CfgNode:
     # logits (the gathered rows are the same f32 values); disabled
     # automatically under a mesh (sharded inference keeps the fetch path).
     r.ASSOC_INDEXED = True
+    # association matcher compute precision: '' follows MODEL.PRECISION,
+    # or set 'float32'/'bfloat16' explicitly. The short/long matcher pass is
+    # COMPUTE-bound (d=1024 enc+dec matmuls dominate the measured
+    # short_match/long_match wall, not the RPC), so bf16 roughly halves it
+    # on the MXU. Applies only to the matcher transformers + affinity heads
+    # (reid/rescore stay f32: gomatching.py spot path casts reid inputs to
+    # f32 explicitly) and only with ASSO_HEAD.NO_POS_EMB=True (all shipped
+    # YAMLs; the interpolated pos-emb path would silently promote back to
+    # f32). Affinity logits return as f32; drift is bf16-eps on the
+    # activation scores (tests/test_production_parity.py bounds the e2e id
+    # consistency for the production bf16 configuration).
+    r.ASSOC_PRECISION = ""
     # cross-window pipelining in process_video: 0 = strict spot-then-track;
     # 1 = overlap the next window's encode + host->device wire with the
     # current window's fetch + tracking (safe: compute ordering unchanged);

@@ -46,6 +46,33 @@ def cast_frozen_params(params, dtype):
     return {"params": p}
 
 
+# matcher-only subtrees of the tracker head (NOT reid/rescore, which feed the
+# spot program and stay f32 — gomatching.py:220 casts reid inputs to f32)
+_ASSOC_SUBTREES = (
+    "long_term_matcher",
+    "short_term_matcher",
+    "shared_matcher",
+    "asso_predictor",
+    "local_asso_predictor",
+)
+
+
+def cast_assoc_params(params, dtype):
+    """Cast the association matcher subtrees to the compute dtype (see
+    TPU.ASSOC_PRECISION). Non-matcher leaves are shared, not copied."""
+    import jax.numpy as jnp
+
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    p = dict(params["params"])
+    if "roi_heads" in p:
+        t = dict(p["roi_heads"])
+        for k in _ASSOC_SUBTREES:
+            if k in t:
+                t[k] = jax.tree.map(lambda x: x.astype(dt), t[k])
+        p["roi_heads"] = t
+    return {"params": p}
+
+
 def init_params(model: GoMatchingModel, seed: int = 0, image_size=None):
     """Random-init the full parameter tree.
 
@@ -112,6 +139,17 @@ class VideoPredictor:
         self._concat_fns = {}  # n_chunks -> jitted device-side concat
         self.upload_format = getattr(cfg.TPU, "UPLOAD_FORMAT", "rgb")
         use_pos = not cfg.MODEL.ASSO_HEAD.NO_POS_EMB
+        # bf16 association matcher (TPU.ASSOC_PRECISION; compute-bound pass,
+        # see config.py) — gated off for the interpolated-pos-emb path, whose
+        # f32 pos adds would promote the matmuls back to f32 anyway
+        assoc_prec = getattr(cfg.TPU, "ASSOC_PRECISION", "") or cfg.MODEL.PRECISION
+        self.assoc_bf16 = assoc_prec == "bfloat16" and not use_pos
+        if self.assoc_bf16:
+            self._assoc_params = jax.jit(
+                lambda p: cast_assoc_params(p, "bfloat16")
+            )(self.params)
+        else:
+            self._assoc_params = self.params
         # indexed association (TPU.ASSOC_INDEXED): reid rows stay device-
         # resident; the tracker ships row indices. Mesh inference keeps the
         # fetch path (the pool would need explicit shardings).
@@ -129,9 +167,12 @@ class VideoPredictor:
                 else:
                     def fn(p, pool, rows, valid):
                         toks = jnp.take(pool, rows, axis=0)
-                        return self.model.apply(
+                        if self.assoc_bf16:
+                            toks = toks.astype(jnp.bfloat16)
+                        out = self.model.apply(
                             p, toks, valid, short, method=GoMatchingModel.associate
                         )
+                        return out.astype(jnp.float32)
                 return jax.jit(fn)
 
             self._assoc_rows_short = make_rows_fn(True)
@@ -139,11 +180,11 @@ class VideoPredictor:
             if use_pos:
                 def associate_fn(rows, valid, short_term, boxes=None, times=None):
                     fn = self._assoc_rows_short if short_term else self._assoc_rows_long
-                    return fn(self.params, self._pool, rows, valid, boxes, times)
+                    return fn(self._assoc_params, self._pool, rows, valid, boxes, times)
             else:
                 def associate_fn(rows, valid, short_term):
                     fn = self._assoc_rows_short if short_term else self._assoc_rows_long
-                    return fn(self.params, self._pool, rows, valid)
+                    return fn(self._assoc_params, self._pool, rows, valid)
         elif use_pos:
             self._assoc_short = jax.jit(
                 lambda p, toks, valid, bx, tm: self.model.apply(
@@ -158,22 +199,24 @@ class VideoPredictor:
 
             def associate_fn(tokens, valid, short_term, boxes=None, times=None):
                 fn = self._assoc_short if short_term else self._assoc_long
-                return fn(self.params, tokens, valid, boxes, times)
+                return fn(self._assoc_params, tokens, valid, boxes, times)
         else:
-            self._assoc_short = jax.jit(
-                lambda p, toks, valid: self.model.apply(
-                    p, toks, valid, True, method=GoMatchingModel.associate
-                )
-            )
-            self._assoc_long = jax.jit(
-                lambda p, toks, valid: self.model.apply(
-                    p, toks, valid, False, method=GoMatchingModel.associate
-                )
-            )
+            def make_tok_fn(short):
+                def fn(p, toks, valid):
+                    if self.assoc_bf16:
+                        toks = toks.astype(jnp.bfloat16)
+                    out = self.model.apply(
+                        p, toks, valid, short, method=GoMatchingModel.associate
+                    )
+                    return out.astype(jnp.float32)
+                return jax.jit(fn)
+
+            self._assoc_short = make_tok_fn(True)
+            self._assoc_long = make_tok_fn(False)
 
             def associate_fn(tokens, valid, short_term):
                 fn = self._assoc_short if short_term else self._assoc_long
-                return fn(self.params, tokens, valid)
+                return fn(self._assoc_params, tokens, valid)
 
         v = cfg.VIDEO_TEST
         self.tracker = Tracker(
