@@ -290,7 +290,8 @@ def main():
         f"# pass1: frames={n_frames} batch={spot_batch} window={bench_window} "
         f"precision={precision} upload={upload} compile={compile_s:.0f}s "
         f"inst/frame={n_inst:.1f} {host_tag} "
-        f"fps={fps:.2f} stage_times={ {k: round(v, 3) for k, v in tc.items()} }",
+        f"fps={fps:.2f} stage_times={ {k: round(v, 3) for k, v in tc.items()} } "
+        f"asso={predictor.tracker.asso_stats}",
         file=sys.stderr, flush=True,
     )
 
@@ -305,7 +306,8 @@ def main():
             e2 = time.time() - t0
             print(
                 f"# pass2: fps={n_frames / e2:.2f} {host_tag} stage_times="
-                f"{ {k: round(v, 3) for k, v in tc2.items()} }",
+                f"{ {k: round(v, 3) for k, v in tc2.items()} } "
+                f"asso={predictor.tracker.asso_stats}",
                 file=sys.stderr, flush=True,
             )
             fps = max(fps, n_frames / e2)

@@ -127,6 +127,13 @@ class Tracker:
         # stage wall-clock parity with the reference's time_cost buckets
         # (gom_lstmatcher.py:381-399): per-video short/long match seconds
         self.time_cost = {"short_match": 0.0, "long_match": 0.0}
+        # device-call accounting (each synced matcher call costs a ~24-40 ms
+        # tunnel round trip; see PERF_NOTES): batched short calls, speculative
+        # long rounds, requests answered by them, and real-pass cache misses
+        # that fell back to a synchronous per-frame call
+        self.asso_stats = {
+            "short_calls": 0, "long_rounds": 0, "long_reqs": 0, "long_miss": 0,
+        }
 
     # ------------------------------------------------------------------
     def _run_matcher(self, frames: List[FrameDetections], short_term: bool) -> np.ndarray:
@@ -262,6 +269,7 @@ class Tracker:
                 f = np.concatenate([p.reid, c.reid], axis=0).astype(np.float32)
                 feats[i, : len(f)] = f
                 valid[i, : len(f)] = True
+        self.asso_stats["short_calls"] += 1
         if self.use_pos_emb:
             pts = [self._pos_inputs([p, c], npad) for p, c in pairs]
             boxes = np.stack([b for b, _ in pts])
@@ -307,10 +315,17 @@ class Tracker:
         self._long_cache = {}
         if not dets:
             return
-        for _ in range(4):  # cascade depth cap; residual misses fall back
+        # cascade depth cap; residual misses fall back to per-frame sync calls.
+        # Depth = the block's revival-dependency chain length; a converged
+        # round costs nothing (loop exits on an empty request set), while a
+        # real-pass miss costs a FULL synchronous round trip each — so the cap
+        # is sized to the block length rather than a small constant.
+        for _ in range(max(4, len(dets))):
             requests = self._simulate_long_requests(dets, short_cache)
             if not requests:
                 return
+            self.asso_stats["long_rounds"] += 1
+            self.asso_stats["long_reqs"] += len(requests)
             self._batch_long_requests(requests)
 
     def _simulate_long_requests(self, dets, short_cache):
@@ -524,6 +539,7 @@ class Tracker:
         T = len(sub)
         asso = self._long_cache.pop(self._long_key(window, keeps), None)
         if asso is None:
+            self.asso_stats["long_miss"] += 1
             asso = self._run_matcher(sub, short_term=False)  # (n_k, N)
         k_start = sum(n_t[:-1])
         asso_nonk = asso[:, :k_start]
