@@ -406,13 +406,13 @@ def get_cfg() -> CfgNode:
     # kernel; ops/deform_attn_pallas.py)
     r.SAMPLING_IMPL = "vmem"
     # sampler for paths that differentiate THROUGH the spotter (image/video
-    # pretraining). '' (default) derives from SAMPLING_IMPL: explicit 'xla'/
-    # 'tiled' choices are honored, the non-differentiable 'pallas' maps to
-    # 'tiled', and 'vmem' maps to 'tiled' until its custom-VJP backward
-    # (fused backward kernels, ops/deform_attn_{vmem,dec_vmem}.py; grad
-    # parity in tests/test_deform_attn_grads.py) is measured faster on real
-    # hardware (tools/bench_train.py --pretrain --impl both). Set 'vmem'
-    # explicitly to train through the fused kernels.
+    # pretraining). '' (default) derives from SAMPLING_IMPL: 'xla'/'tiled'/
+    # 'vmem' are honored as-is and the non-differentiable 'pallas' maps to
+    # 'tiled'. The production default therefore trains through the fused
+    # vmem kernels' custom VJPs (ops/deform_attn_{vmem,dec_vmem}.py; grad
+    # parity in tests/test_deform_attn_grads.py), measured 1.17x faster than
+    # 'tiled' at training shapes on the real TPU (tools/bench_train.py
+    # --pretrain --impl both; PERF_NOTES round 5).
     r.TRAIN_SAMPLING_IMPL = ""
     # max |sampling offset| (target-level cells) resolved exactly by the
     # tiled/vmem encoder samplers; size it with tools/certify_halo.py

@@ -560,12 +560,22 @@ class Trainer:
             self.state.frozen, self.state.trainable, images, image_hw
         )
 
-    def step_finish(self, targets: Dict, blocking: bool = True):
+    def step_finish(self, targets: Dict, blocking: bool = True,
+                    begin_next=None):
         """Phases 2+3: fetch spot meta, host Hungarian/GT phase, dispatch the
         packed update. ``blocking=False`` returns the metrics as device
         scalars WITHOUT waiting for the update to execute — the overlapped
         loop fetches them one iteration later, after the next step's spot is
-        already in the device queue."""
+        already in the device queue.
+
+        ``begin_next``: optional (device images, image_hw) of the NEXT clip;
+        its frozen spot forward is dispatched immediately AFTER this step's
+        update so its compute hides behind the whole inter-iteration host
+        window (metrics drain, clip decode/upload, next meta fetch) instead
+        of only the slice between loop-top and fetch. Dispatch order keeps
+        numerics identical to the sequential chain: the update runs first on
+        the in-order device stream, and the next spot reads the post-update
+        trainable handles (the rescore head inside ``spot`` is trainable)."""
         spot_out, self._pending_spot = self._pending_spot, None
         t0 = self._t_begin
         host = unpack_spot_meta(np.asarray(spot_out["host_meta"]))
@@ -591,6 +601,8 @@ class Trainer:
             entry = self._packed_updates.setdefault(meta, (jax.jit(upd), keybox))
         fn, keybox = entry
         self.state, packed = fn(self.state, flat, spot_out["query_features"])
+        if begin_next is not None:
+            self.step_begin(*begin_next)
         keys = keybox[0] if keybox else ()
         out = (
             dict(zip(keys, np.asarray(packed, np.float32).tolist()))

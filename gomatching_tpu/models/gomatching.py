@@ -364,16 +364,13 @@ def build_pretrain_model(cfg) -> SpotterPretrainModel:
     t = cfg.MODEL.TRANSFORMER
     # pretraining differentiates THROUGH the spotter: TRAIN_SAMPLING_IMPL
     # selects the sampler; '' derives it from SAMPLING_IMPL, honoring an
-    # explicit 'xla' (exact-everywhere gather) while mapping 'pallas' (no
-    # VJP) and 'vmem' (custom-VJP backward exists but is not yet measured
-    # faster — set TRAIN_SAMPLING_IMPL=vmem to opt in) to 'tiled'.
+    # explicit 'xla' (exact-everywhere gather) and keeping 'vmem' — the fused
+    # kernels' custom-VJP backwards measured 1.17x faster than 'tiled' at
+    # training shapes on the real TPU (tools/bench_train.py --pretrain
+    # --impl both, 736px: vmem 1378 vs tiled 1611 ms/iter; PERF_NOTES round
+    # 5). 'pallas' (no VJP) still maps to 'tiled'.
     impl = cfg.TPU.TRAIN_SAMPLING_IMPL or cfg.TPU.SAMPLING_IMPL
-    if not cfg.TPU.TRAIN_SAMPLING_IMPL and impl in ("vmem", "pallas"):
-        print(f"# pretraining sampler: TPU.SAMPLING_IMPL={impl} -> 'tiled' "
-              "(set TPU.TRAIN_SAMPLING_IMPL=vmem to train through the fused "
-              "kernels' custom VJPs)")
-        impl = "tiled"
-    elif impl == "pallas":
+    if impl == "pallas":
         impl = "tiled"
     return SpotterPretrainModel(
         backbone_name=cfg.MODEL.BACKBONE.NAME,

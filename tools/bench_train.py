@@ -114,8 +114,9 @@ def bench_tracker(cfg, iters, frames, size, rng, overlap=False):
     if overlap:
         # steady-state of the train_net.py double-buffered loop (measured in
         # the SAME process so the compile above is reused): clip i+1's
-        # upload rides the device's step-i compute; metrics fetched one iter
-        # late as one stacked vector
+        # upload rides the device's step-i compute, its spot forward is
+        # dispatched by step_finish right after the update (spot-ahead), and
+        # metrics are fetched one iter late as one stacked vector
         trainer.step_begin(trainer.put_clip(images), hw)
         pending, wall = None, []
         for _ in range(iters):
@@ -123,10 +124,13 @@ def bench_tracker(cfg, iters, frames, size, rng, overlap=False):
             dev_next = trainer.put_clip(images)
             if pending is not None:
                 m = fetch_metrics(pending)
-            pending = trainer.step_finish(targets, blocking=False)
-            trainer.step_begin(dev_next, hw)
+            pending = trainer.step_finish(targets, blocking=False,
+                                          begin_next=(dev_next, hw))
             wall.append(time.time() - t0)
         m = fetch_metrics(pending)
+        # the primed pipeline leaves one dispatched spot forward un-finished;
+        # drain it so the process can exit cleanly
+        trainer.step_finish(targets)
         sec = float(np.median(wall))
         print(f"# tracker step [overlap]: median {sec * 1e3:.0f} ms/iter "
               f"(min {min(wall) * 1e3:.0f}, max {max(wall) * 1e3:.0f}); "

@@ -405,30 +405,38 @@ def main():
                 print(f"saved checkpoint at iter {idx + 1}")
 
         pending = None  # (iter idx, deferred metrics handle) — overlap mode
-        nxt = None  # prefetched (device images, hw, targets)
+        targets = None  # GT of the already-dispatched spot forward
         if overlap and max_iter > start_iter:
             from gomatching_tpu.engine.train import fetch_metrics
 
+            # prime the pipeline: clip 0's spot forward goes on the device
+            # queue now; every later spot is dispatched by step_finish's
+            # begin_next so its compute hides behind the FULL inter-iteration
+            # host window (metrics drain, clip decode/upload, meta fetch)
             t0 = time.time()
-            imgs, hw0, tgts0 = prep_clip()
-            nxt = (trainer.put_clip(imgs), hw0, tgts0)
+            imgs, hw0, targets = prep_clip()
+            trainer.step_begin(trainer.put_clip(imgs), hw0)
             data_t += time.time() - t0
         for i in range(start_iter, max_iter):
             t0 = time.time()
             if overlap:
-                dev_images, hw, targets = nxt
-                trainer.step_begin(dev_images, hw)
                 # device busy with the spot forward: drain last iter's
                 # metrics, then decode + upload the NEXT clip over the wire
                 if pending is not None:
                     record(pending[0], fetch_metrics(pending[1]))
                     pending = None
                 td0 = time.time()
+                nxt = None
                 if i + 1 < max_iter:
                     imgs, hw2, tgts2 = prep_clip()
                     nxt = (trainer.put_clip(imgs), hw2, tgts2)
                 td = time.time() - td0
-                pending = (i, trainer.step_finish(targets, blocking=False))
+                pending = (i, trainer.step_finish(
+                    targets, blocking=False,
+                    begin_next=None if nxt is None else (nxt[0], nxt[1]),
+                ))
+                if nxt is not None:
+                    targets = nxt[2]
                 maybe_checkpoint(i)
                 data_t += td
                 step_t += time.time() - t0 - td
