@@ -393,6 +393,15 @@ def get_cfg() -> CfgNode:
     # keeps the per-step compute shape at SPOT_BATCH (>= 4 faults the worker)
     r.SPOT_SUPER = 2
     r.MAX_INST = 100  # static per-frame instance capacity after thresholding
+    # video inference meta-fetch compaction: per frame, ship only the top-K
+    # packed metadata rows (valid slots first, stable in slot order, plus
+    # their original slot ids) instead of all NUM_QUERIES rows — typically
+    # ~20 slots/frame survive the threshold, so most of the ~1.7 MB/24-frame
+    # meta fetch is never read. Exact: if any frame has more than K valid
+    # slots the predictor falls back to the full fetch for the window, and
+    # otherwise the reconstructed rows are the same f32 values (invalid
+    # rows are zeros, which no consumer reads). 0 disables.
+    r.META_TOPK = 48
     r.MAX_GT = 60  # static per-image GT capacity for pretraining targets
     r.PAD_TO = 32  # frame padding multiple for static feature shapes
     # deformable-attention sampling implementation: 'vmem' (fused VMEM

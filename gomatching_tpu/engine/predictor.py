@@ -138,6 +138,7 @@ class VideoPredictor:
         self._raw_spot_fns = {}  # (in_h, in_w) -> jitted uint8-raw-frames spot fn
         self._concat_fns = {}  # n_chunks -> jitted device-side concat
         self.upload_format = getattr(cfg.TPU, "UPLOAD_FORMAT", "rgb")
+        self.meta_topk = int(getattr(cfg.TPU, "META_TOPK", 0))
         use_pos = not cfg.MODEL.ASSO_HEAD.NO_POS_EMB
         # bf16 association matcher (TPU.ASSOC_PRECISION; compute-bound pass,
         # see config.py) — gated off for the interpolated-pos-emb path, whose
@@ -165,14 +166,25 @@ class VideoPredictor:
                             method=GoMatchingModel.associate,
                         )
                 else:
-                    def fn(p, pool, rows, valid):
+                    def fn(p, pool, rows, valid, out_rows=None):
                         toks = jnp.take(pool, rows, axis=0)
                         if self.assoc_bf16:
                             toks = toks.astype(jnp.bfloat16)
                         out = self.model.apply(
                             p, toks, valid, short, method=GoMatchingModel.associate
                         )
-                        return out.astype(jnp.float32)
+                        out = out.astype(jnp.float32)
+                        # fetch-byte cut: the tracker only reads the LAST
+                        # frame's rows of each request's (npad, npad) logits —
+                        # slice them on device so the host round trip ships
+                        # (B, kpad, npad) instead of (B, npad, npad). Same f32
+                        # values (a pure take_along_axis), so ids stay
+                        # bit-identical; the tunnel moves ~35 MB/s, and a
+                        # 32-padded long-match round was ~2 MB (~60 ms) of
+                        # which ~threefourths was never read.
+                        if out_rows is not None:
+                            out = jnp.take_along_axis(out, out_rows[:, :, None], axis=1)
+                        return out
                 return jax.jit(fn)
 
             self._assoc_rows_short = make_rows_fn(True)
@@ -182,9 +194,11 @@ class VideoPredictor:
                     fn = self._assoc_rows_short if short_term else self._assoc_rows_long
                     return fn(self._assoc_params, self._pool, rows, valid, boxes, times)
             else:
-                def associate_fn(rows, valid, short_term):
+                def associate_fn(rows, valid, short_term, out_rows=None):
                     fn = self._assoc_rows_short if short_term else self._assoc_rows_long
-                    return fn(self._assoc_params, self._pool, rows, valid)
+                    return fn(self._assoc_params, self._pool, rows, valid, out_rows)
+
+                associate_fn.supports_out_rows = True
         elif use_pos:
             self._assoc_short = jax.jit(
                 lambda p, toks, valid, bx, tm: self.model.apply(
@@ -202,21 +216,26 @@ class VideoPredictor:
                 return fn(self._assoc_params, tokens, valid, boxes, times)
         else:
             def make_tok_fn(short):
-                def fn(p, toks, valid):
+                def fn(p, toks, valid, out_rows=None):
                     if self.assoc_bf16:
                         toks = toks.astype(jnp.bfloat16)
                     out = self.model.apply(
                         p, toks, valid, short, method=GoMatchingModel.associate
                     )
-                    return out.astype(jnp.float32)
+                    out = out.astype(jnp.float32)
+                    if out_rows is not None:  # see make_rows_fn: sliced fetch
+                        out = jnp.take_along_axis(out, out_rows[:, :, None], axis=1)
+                    return out
                 return jax.jit(fn)
 
             self._assoc_short = make_tok_fn(True)
             self._assoc_long = make_tok_fn(False)
 
-            def associate_fn(tokens, valid, short_term):
+            def associate_fn(tokens, valid, short_term, out_rows=None):
                 fn = self._assoc_short if short_term else self._assoc_long
-                return fn(self._assoc_params, tokens, valid)
+                return fn(self._assoc_params, tokens, valid, out_rows)
+
+            associate_fn.supports_out_rows = True
 
         v = cfg.VIDEO_TEST
         self.tracker = Tracker(
@@ -433,6 +452,59 @@ class VideoPredictor:
             self._concat_fns[("meta", n_meta)] = fn
         return fn
 
+    def _meta_topk_fn(self, n_meta: int, k: int):
+        """Jitted compacting meta fetch: (N, nq, K) -> (N, k, n_meta + 2).
+
+        Per frame, the k slots sorted valid-first (stable in slot order) with
+        two extra columns: the row's ORIGINAL slot id and the frame's total
+        valid count (for the exact-overflow fallback). Typically ~20 of
+        nq=100 slots survive the threshold, so this ships ~nq/k x fewer bytes
+        over the ~35 MB/s tunnel than the full meta fetch; values for every
+        fetched row are bit-identical (pure take_along_axis)."""
+        fn = self._concat_fns.get(("meta_topk", n_meta, k))
+        if fn is None:
+
+            def topk(x):
+                meta = x[:, :, :n_meta]
+                nq = meta.shape[1]
+                valid = meta[:, :, 1] > 0.5  # packed column 1 = validity
+                key = jnp.where(valid, 0, nq).astype(jnp.int32) + jnp.arange(
+                    nq, dtype=jnp.int32
+                )[None, :]
+                order = jnp.argsort(key, axis=1)[:, :k]
+                sel = jnp.take_along_axis(meta, order[:, :, None], axis=1)
+                nvalid = valid.sum(axis=1).astype(jnp.float32)
+                return jnp.concatenate(
+                    [
+                        sel,
+                        order.astype(jnp.float32)[:, :, None],
+                        jnp.broadcast_to(
+                            nvalid[:, None, None], sel.shape[:2] + (1,)
+                        ),
+                    ],
+                    axis=-1,
+                )
+
+            fn = jax.jit(topk)
+            self._concat_fns[("meta_topk", n_meta, k)] = fn
+        return fn
+
+    def _fetch_meta(self, cat, n_meta: int) -> np.ndarray:
+        """Fetch the window's (N, nq, n_meta) metadata, via the compacting
+        top-K path (TPU.META_TOPK) when enabled; exact either way."""
+        nq = int(cat.shape[1])
+        k = self.meta_topk
+        if not k or k >= nq or self.mesh is not None:
+            return np.asarray(self._meta_fn(n_meta)(cat))
+        m = np.asarray(self._meta_topk_fn(n_meta, k)(cat))
+        if (m[:, 0, -1] > k).any():  # a frame overflowed K valid slots
+            return np.asarray(self._meta_fn(n_meta)(cat))
+        meta = np.zeros((m.shape[0], nq, n_meta), np.float32)
+        slots = m[:, :, -2].astype(np.int64)
+        rr = np.repeat(np.arange(m.shape[0]), k)
+        meta[rr, slots.reshape(-1)] = m[:, :, :n_meta].reshape(-1, n_meta)
+        return meta
+
     def _gather_reid_fn(self, n_meta: int):
         """Jitted valid-slot reid gather: (N, nq, K), (Mb, 2) -> (Mb, F)."""
         fn = self._concat_fns.get(("reid", n_meta))
@@ -507,7 +579,7 @@ class VideoPredictor:
         # ~10 MB (~0.3 s at the tunnel's ~35 MB/s) per 24-frame window, with
         # bit-identical f32 reid values.
         n_meta = 6 + 7 * self.cfg.MODEL.TRANSFORMER.NUM_POINTS
-        meta = np.asarray(self._meta_fn(n_meta)(cat))
+        meta = self._fetch_meta(cat, n_meta)
         frame_rows = []
         row = 0
         for _, rows, keep in pending:

@@ -39,6 +39,21 @@ def _bucket(n: int) -> int:
     return -(-n // BUCKETS[-1]) * BUCKETS[-1]
 
 
+def _query_rows(starts_counts) -> np.ndarray:
+    """(B, kpad) int32 indices of each request's query-frame rows (row ids
+    ``start..start+count`` of its (npad, npad) logits), kpad a power of two
+    >= max count to bound recompiles; padding lanes index row 0 and are
+    sliced off on host."""
+    kmax = max(1, max(c for _, c in starts_counts))
+    kpad = 8
+    while kpad < kmax:
+        kpad *= 2
+    rows = np.zeros((len(starts_counts), kpad), np.int32)
+    for i, (start, count) in enumerate(starts_counts):
+        rows[i, :count] = np.arange(start, start + count, dtype=np.int32)
+    return rows
+
+
 @dataclass
 class FrameDetections:
     """Dense (unpadded) detections of one frame, host numpy."""
@@ -105,6 +120,11 @@ class Tracker:
     ):
         self.associate_fn = associate_fn
         self.indexed = indexed
+        # device-side row slicing of batched matcher fetches (predictor fns
+        # advertise it): only the query frame's rows of each request's
+        # (npad, npad) logits come back over the wire — same values,
+        # ~4x fewer bytes per long-match round
+        self._slice_rows = bool(getattr(associate_fn, "supports_out_rows", False))
         self.test_len = test_len
         self.overlap_thresh = overlap_thresh
         self.min_track_len = min_track_len
@@ -275,13 +295,19 @@ class Tracker:
             boxes = np.stack([b for b, _ in pts])
             times = np.stack([t for _, t in pts])
             logits = np.asarray(self.associate_fn(feats, valid, True, boxes, times))
+            sliced = False
+        elif self._slice_rows:
+            out_rows = _query_rows([(len(p), len(c)) for p, c in pairs])
+            logits = np.asarray(self.associate_fn(feats, valid, True, out_rows=out_rows))
+            sliced = True
         else:
             logits = np.asarray(self.associate_fn(feats, valid, True))
+            sliced = False
         cache = {}
         for i, (p, c) in enumerate(pairs):
             n_t = [len(p), len(c)]
             N = sum(n_t)
-            rows = logits[i, n_t[0] : N, :N]
+            rows = logits[i, : n_t[1], :N] if sliced else logits[i, n_t[0] : N, :N]
             cache[id(c)] = activate_asso(rows, n_t)
         return cache
 
@@ -464,14 +490,26 @@ class Tracker:
                 for i, (_, _, _, pf) in enumerate(reqs):
                     boxes[i], times[i] = self._pos_inputs(pf, npad)
                 out = self.associate_fn(feats, valid, False, boxes, times)
+                sliced = False
+            elif self._slice_rows:
+                out_rows = _query_rows(
+                    [(sum(n_t[:-1]), n_t[-1]) for _, n_t, _, _ in reqs]
+                    + [(0, 1)] * (Bc - len(reqs))
+                )
+                out = self.associate_fn(feats, valid, False, out_rows=out_rows)
+                sliced = True
             else:
                 out = self.associate_fn(feats, valid, False)
-            pending.append((reqs, out))
-        for reqs, out in pending:
+                sliced = False
+            pending.append((reqs, out, sliced))
+        for reqs, out, sliced in pending:
             logits = np.asarray(out)
             for i, (key, n_t, _, _) in enumerate(reqs):
                 N = sum(n_t)
-                rows = logits[i, N - n_t[-1] : N, :N]
+                rows = (
+                    logits[i, : n_t[-1], :N] if sliced
+                    else logits[i, N - n_t[-1] : N, :N]
+                )
                 self._long_cache[key] = activate_asso(rows, n_t)
 
     def _short_term(self, prev: FrameDetections, cur: FrameDetections,
